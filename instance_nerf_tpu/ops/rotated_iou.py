@@ -125,7 +125,13 @@ def oriented_box_intersection_2d(corners1, corners2):
 
 
 def cal_iou(box1, box2):
-    """2D rotated IoU for (..., 5) boxes. Returns (iou, corners1, corners2, union)."""
+    """2D rotated IoU for (..., 5) boxes. Returns (iou, corners1, corners2, union).
+
+    Leading dims broadcast (e.g. ``(N,1,5)`` vs ``(1,M,5)`` -> ``(N,M)``).
+    """
+    shape = jnp.broadcast_shapes(box1.shape, box2.shape)
+    box1 = jnp.broadcast_to(box1, shape)
+    box2 = jnp.broadcast_to(box2, shape)
     corners1 = box2corners(box1)
     corners2 = box2corners(box2)
     inter = oriented_box_intersection_2d(corners1, corners2)
