@@ -1,0 +1,613 @@
+"""Anchor-free FCOS-3D RPN over NeRF voxel grids (flax, fixed-shape).
+
+Capability parity with ``nerf_rcnn/model/fcos/`` (the recommended RPN path,
+SURVEY.md §2.4): shared conv towers with GroupNorm(32), per-level learnable
+scale, centerness branch, focal-init cls bias; center-sampling target
+assignment with per-level size-of-interest ranges and min-volume
+tie-breaks; sigmoid focal cls loss + centerness-weighted IoU-family reg
+loss + BCE centerness; score = sqrt(cls * centerness) at inference.
+
+TPU redesign:
+  * every per-scene python loop in the reference (loss.py:385-436,
+    inference.py:86-128) becomes a batched fixed-shape computation over
+    ``(N, R)`` location arrays and ``(N, K)`` padded gt with validity
+    masks — one jit graph, no data-dependent shapes.
+  * the cross-GPU ``reduce_sum`` for loss normalization
+    (loss.py:202-208,535-550) is ``lax.psum`` over an optional mesh axis.
+  * postprocessing (top-k -> decode -> clip -> NMS) is all masks +
+    ``lax.top_k`` + the fixed-iteration NMS from ops/nms.py.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, NamedTuple, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from instance_nerf_tpu.ops import nms as nms_ops
+from instance_nerf_tpu.ops.boxes import clip_boxes_to_mesh, small_box_mask
+from instance_nerf_tpu.ops.rotated_iou import (
+    box2corners,
+    cal_diou_3d,
+    cal_giou_3d,
+    cal_iou_3d,
+)
+
+INF = 1e8
+
+# per-level regression ranges (ref: loss.py:270-275)
+OBJECT_SIZES_OF_INTEREST = ((-1.0, 16.0), (16.0, 32.0), (32.0, 64.0), (64.0, INF))
+
+
+# ---------------------------------------------------------------------------
+# Head
+# ---------------------------------------------------------------------------
+
+
+class FCOSHead(nn.Module):
+    """Cls/bbox towers + logits/regression/centerness convs (ref: fcos.py:26-130)."""
+
+    num_convs: int = 4
+    num_levels: int = 4
+    fpn_strides: Sequence[int] = (4, 8, 16, 32)
+    norm_reg_targets: bool = True
+    centerness_on_reg: bool = True
+    use_obb: bool = False
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, features: Sequence[jnp.ndarray], train: bool = True):
+        reg_dim = 8 if self.use_obb else 6
+        conv = partial(
+            nn.Conv,
+            kernel_size=(3, 3, 3),
+            padding="SAME",
+            dtype=self.dtype,
+            kernel_init=nn.initializers.normal(0.01),
+        )
+
+        cls_tower = [
+            (conv(features[0].shape[-1], name=f"cls_tower_{i}"),
+             nn.GroupNorm(num_groups=32, dtype=self.dtype, name=f"cls_gn_{i}"))
+            for i in range(self.num_convs)
+        ]
+        bbox_tower = [
+            (conv(features[0].shape[-1], name=f"bbox_tower_{i}"),
+             nn.GroupNorm(num_groups=32, dtype=self.dtype, name=f"bbox_gn_{i}"))
+            for i in range(self.num_convs)
+        ]
+        # focal-loss prior init on cls bias (ref: fcos.py:97-99)
+        bias_init = -math.log((1 - 0.01) / 0.01)
+        cls_logits = conv(
+            1, bias_init=nn.initializers.constant(bias_init), name="cls_logits"
+        )
+        bbox_pred = conv(reg_dim, name="bbox_pred")
+        centerness = conv(1, name="centerness")
+        scales = self.param(
+            "scales", nn.initializers.ones, (self.num_levels,), jnp.float32
+        )
+
+        logits, bbox_reg, ctr = [], [], []
+        for lvl, feat in enumerate(features):
+            c = feat
+            for cv, gn in cls_tower:
+                c = nn.relu(gn(cv(c)))
+            b = feat
+            for cv, gn in bbox_tower:
+                b = nn.relu(gn(cv(b)))
+
+            logits.append(cls_logits(c)[..., 0])
+            ctr.append(centerness(b if self.centerness_on_reg else c)[..., 0])
+
+            pred = bbox_pred(b) * scales[lvl]
+            if self.norm_reg_targets:
+                dist = nn.relu(pred[..., :6])
+                if not train:
+                    dist = dist * self.fpn_strides[lvl]
+                pred = jnp.concatenate([dist, pred[..., 6:]], axis=-1)
+            else:
+                pred = jnp.exp(pred)
+            bbox_reg.append(pred)
+        return logits, bbox_reg, ctr
+
+
+# ---------------------------------------------------------------------------
+# Locations + padding masks
+# ---------------------------------------------------------------------------
+
+
+class LevelInfo(NamedTuple):
+    locations: jnp.ndarray  # (R, 3) voxel-center coords, all levels concat
+    level_ids: jnp.ndarray  # (R,) int32
+    strides: jnp.ndarray  # (R,) float
+    sizes_of_interest: jnp.ndarray  # (R, 2)
+
+
+def compute_locations(
+    feature_shapes: Sequence[tuple[int, int, int]], fpn_strides: Sequence[int]
+) -> LevelInfo:
+    """Per-level voxel-center grids, concatenated (ref: fcos.py:221-250)."""
+    locs, lids, strs, sois = [], [], [], []
+    for lvl, ((w, l, h), stride) in enumerate(zip(feature_shapes, fpn_strides)):
+        xs = jnp.arange(w, dtype=jnp.float32) * stride + stride // 2
+        ys = jnp.arange(l, dtype=jnp.float32) * stride + stride // 2
+        zs = jnp.arange(h, dtype=jnp.float32) * stride + stride // 2
+        gx, gy, gz = jnp.meshgrid(xs, ys, zs, indexing="ij")
+        pts = jnp.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=-1)
+        locs.append(pts)
+        r = pts.shape[0]
+        lids.append(jnp.full((r,), lvl, jnp.int32))
+        strs.append(jnp.full((r,), float(stride)))
+        soi = OBJECT_SIZES_OF_INTEREST[min(lvl, len(OBJECT_SIZES_OF_INTEREST) - 1)]
+        sois.append(jnp.broadcast_to(jnp.asarray(soi), (r, 2)))
+    return LevelInfo(
+        jnp.concatenate(locs),
+        jnp.concatenate(lids),
+        jnp.concatenate(strs),
+        jnp.concatenate(sois),
+    )
+
+
+def padding_mask(info: LevelInfo, grid_sizes: jnp.ndarray) -> jnp.ndarray:
+    """(N, R) True where a location is inside each scene's un-padded grid
+    (ref: fcos.py:252-265)."""
+    return jnp.all(info.locations[None] < grid_sizes[:, None, :], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Target assignment (vectorized; ref semantics loss.py:217-436)
+# ---------------------------------------------------------------------------
+
+
+def _center_sample_mask(aabbs, info: LevelInfo, radius: float):
+    """(R, K): is location inside the clipped center-region of each gt."""
+    centers = 0.5 * (aabbs[:, 0:3] + aabbs[:, 3:6])  # (K, 3)
+    rad = info.strides[:, None, None] * radius  # (R, 1, 1)
+    lo = jnp.maximum(centers[None] - rad, aabbs[None, :, 0:3])  # (R, K, 3)
+    hi = jnp.minimum(centers[None] + rad, aabbs[None, :, 3:6])
+    p = info.locations[:, None, :]  # (R, 1, 3)
+    return jnp.all((p - lo > 0) & (hi - p > 0), axis=-1)
+
+
+def fcos_targets(
+    info: LevelInfo,
+    gt_boxes: jnp.ndarray,  # (K, 6) AABB
+    gt_mask: jnp.ndarray,  # (K,) bool
+    center_sampling_radius: float = 1.5,
+    norm_reg_targets: bool = True,
+):
+    """Labels (R,) in {0,1} and reg targets (R, 6) for one scene."""
+    xs = info.locations[:, 0:1]
+    ys = info.locations[:, 1:2]
+    zs = info.locations[:, 2:3]
+    l = xs - gt_boxes[None, :, 0]  # broadcasting (R, K)
+    t = ys - gt_boxes[None, :, 1]
+    f = zs - gt_boxes[None, :, 2]
+    r = gt_boxes[None, :, 3] - xs
+    b = gt_boxes[None, :, 4] - ys
+    ba = gt_boxes[None, :, 5] - zs
+    reg = jnp.stack([l, t, f, r, b, ba], axis=-1)  # (R, K, 6)
+
+    if center_sampling_radius > 0:
+        in_boxes = _center_sample_mask(gt_boxes, info, center_sampling_radius)
+    else:
+        in_boxes = jnp.min(reg, axis=-1) > 0
+
+    max_reg = jnp.max(reg, axis=-1)  # (R, K)
+    cared = (max_reg >= info.sizes_of_interest[:, 0:1]) & (
+        max_reg <= info.sizes_of_interest[:, 1:2]
+    )
+
+    volumes = (
+        (gt_boxes[:, 3] - gt_boxes[:, 0])
+        * (gt_boxes[:, 4] - gt_boxes[:, 1])
+        * (gt_boxes[:, 5] - gt_boxes[:, 2])
+    )
+    area = jnp.broadcast_to(volumes[None], in_boxes.shape)
+    area = jnp.where(in_boxes & cared & gt_mask[None], area, INF)
+
+    min_area = jnp.min(area, axis=1)
+    gt_idx = jnp.argmin(area, axis=1)
+    labels = (min_area < INF).astype(jnp.float32)
+    reg_t = jnp.take_along_axis(reg, gt_idx[:, None, None], axis=1)[:, 0]
+    if norm_reg_targets:
+        reg_t = reg_t / info.strides[:, None]
+    return labels, reg_t
+
+
+def centerness_target(reg: jnp.ndarray) -> jnp.ndarray:
+    """sqrt(prod_axis min/max) (ref: loss.py:439-447)."""
+    lr = reg[..., jnp.array([0, 3])]
+    tb = reg[..., jnp.array([1, 4])]
+    fb = reg[..., jnp.array([2, 5])]
+
+    def ratio(p):
+        return jnp.min(p, -1) / jnp.maximum(jnp.max(p, -1), 1e-10)
+
+    return jnp.sqrt(jnp.maximum(ratio(lr) * ratio(tb) * ratio(fb), 0.0))
+
+
+# ---------------------------------------------------------------------------
+# Losses
+# ---------------------------------------------------------------------------
+
+
+def sigmoid_focal_loss(logits, targets, alpha=0.25, gamma=2.0):
+    p = jax.nn.sigmoid(logits)
+    ce = optax_sigmoid_ce(logits, targets)
+    p_t = p * targets + (1 - p) * (1 - targets)
+    loss = ce * (1 - p_t) ** gamma
+    if alpha >= 0:
+        loss = loss * (alpha * targets + (1 - alpha) * (1 - targets))
+    return loss
+
+
+def optax_sigmoid_ce(logits, labels):
+    # numerically stable BCE-with-logits
+    return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+def iou_loss_6dist(pred, target, loss_type="iou"):
+    """IoU-family loss on 6-distance parameterization (ref: loss.py:77-133)."""
+    tl, tt, tf, tr, tb, tba = jnp.moveaxis(target, -1, 0)
+    pl, pt, pf, pr, pb, pba = jnp.moveaxis(pred, -1, 0)
+    target_vol = (tl + tr) * (tt + tb) * (tf + tba)
+    pred_vol = (pl + pr) * (pt + pb) * (pf + pba)
+    w_i = jnp.minimum(pl, tl) + jnp.minimum(pr, tr)
+    g_w = jnp.maximum(pl, tl) + jnp.maximum(pr, tr)
+    h_i = jnp.minimum(pb, tb) + jnp.minimum(pt, tt)
+    g_h = jnp.maximum(pb, tb) + jnp.maximum(pt, tt)
+    d_i = jnp.minimum(pf, tf) + jnp.minimum(pba, tba)
+    g_d = jnp.maximum(pf, tf) + jnp.maximum(pba, tba)
+    ac = g_w * g_h * g_d + 1e-7
+    inter = w_i * h_i * d_i
+    union = target_vol + pred_vol - inter
+    ious = (inter + 1.0) / (union + 1.0)
+    if loss_type == "iou":
+        return -jnp.log(jnp.maximum(ious, 1e-10))
+    if loss_type == "linear_iou":
+        return 1.0 - ious
+    if loss_type == "giou":
+        gious = ious - (ac - union) / ac
+        return 1.0 - gious
+    raise NotImplementedError(loss_type)
+
+
+def decode_fcos_aabb(locations, dist):
+    """6-distance -> AABB (ref: inference.py:105-112)."""
+    lo = locations - dist[..., 0:3]
+    hi = locations + dist[..., 3:6]
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
+def decode_fcos_obb(locations, reg):
+    """Midpoint-offset 8-param -> OBB (ref: fcos/utils.py:12-72)."""
+    x0 = locations[..., 0] - reg[..., 0]
+    y0 = locations[..., 1] - reg[..., 1]
+    z0 = locations[..., 2] - reg[..., 2]
+    x1 = locations[..., 0] + reg[..., 3]
+    y1 = locations[..., 1] + reg[..., 4]
+    z1 = locations[..., 2] + reg[..., 5]
+    vx = jnp.clip((x1 + x0) / 2 + reg[..., 6] * (x1 - x0), x0, x1)
+    vy = jnp.clip((y1 + y0) / 2 + reg[..., 7] * (y1 - y0), y0, y1)
+
+    cx, cy, cz = (x0 + x1) / 2, (y0 + y1) / 2, (z0 + z1) / 2
+    v0 = jnp.stack([vx - cx, y1 - cy], axis=-1)
+    v1 = jnp.stack([x1 - cx, vy - cy], axis=-1)
+    d0 = jnp.linalg.norm(v0, axis=-1)
+    d1 = jnp.linalg.norm(v1, axis=-1)
+    dmax = jnp.maximum(d0, d1)
+    v0 = v0 / (d0[..., None] + 1e-7) * dmax[..., None]
+    v1 = v1 / (d1[..., None] + 1e-7) * dmax[..., None]
+
+    l = jnp.linalg.norm(v0 - v1, axis=-1)
+    mid = (v0 + v1) / 2
+    w = jnp.linalg.norm(mid, axis=-1) * 2
+    h = z1 - z0
+    mid_x = jnp.where((mid[..., 0] == 0) & (mid[..., 1] == 0), 1e-7, mid[..., 0])
+    theta = jnp.arctan2(mid[..., 1], mid_x)
+    return jnp.stack([cx, cy, cz, w, l, h, theta], axis=-1)
+
+
+def encode_fcos_obb(locations, boxes):
+    """OBB (..., 7) -> 8-param midpoint-offset targets (ref: fcos/utils.py:75-105)."""
+    proj = boxes[..., jnp.array([0, 1, 3, 4, 6])]
+    corners = box2corners(proj)  # (..., 4, 2)
+    xs, ys = corners[..., 0], corners[..., 1]
+    xmax, xmin = jnp.max(xs, -1), jnp.min(xs, -1)
+    ymax, ymin = jnp.max(ys, -1), jnp.min(ys, -1)
+
+    x0 = locations[..., 0] - xmin
+    y0 = locations[..., 1] - ymin
+    z0 = locations[..., 2] - (boxes[..., 2] - boxes[..., 5] / 2)
+    x1 = xmax - locations[..., 0]
+    y1 = ymax - locations[..., 1]
+    z1 = (boxes[..., 2] + boxes[..., 5] / 2) - locations[..., 2]
+
+    xt = jnp.where(ymax[..., None] - ys > 0.1, -1e6, xs)
+    yt = jnp.where(xmax[..., None] - xs > 0.1, 1e6, ys)
+    vx = jnp.max(xt, -1)
+    vy = jnp.min(yt, -1)
+    near_aabb = jnp.isclose(vx, xmax) & jnp.isclose(vy, ymin)
+    vx = jnp.where(near_aabb, xmax, vx)
+    vy = jnp.where(near_aabb, ymin, vy)
+
+    alpha = (vx - boxes[..., 0]) / jnp.maximum(xmax - xmin, 1e-7)
+    beta = (vy - boxes[..., 1]) / jnp.maximum(ymax - ymin, 1e-7)
+    return jnp.stack([x0, y0, z0, x1, y1, z1, alpha, beta], axis=-1)
+
+
+def fcos_targets_obb(
+    info: LevelInfo,
+    gt_obbs: jnp.ndarray,  # (K, 7)
+    gt_mask: jnp.ndarray,
+    center_sampling_radius: float = 1.5,
+    norm_reg_targets: bool = True,
+):
+    """OBB target assignment (ref: loss.py:321-380)."""
+    k = gt_obbs.shape[0]
+    # per-gt 8-dim targets at every location: (R, K, 8)
+    reg = jax.vmap(
+        lambda box: encode_fcos_obb(
+            info.locations, jnp.broadcast_to(box, (info.locations.shape[0], 7))
+        ),
+        out_axes=1,
+    )(gt_obbs)
+
+    corners = box2corners(gt_obbs[:, jnp.array([0, 1, 3, 4, 6])])  # (K, 4, 2)
+    aabbs = jnp.concatenate(
+        [
+            jnp.min(corners, axis=1),
+            gt_obbs[:, 2:3] - gt_obbs[:, 5:6] / 2,
+            jnp.max(corners, axis=1),
+            gt_obbs[:, 2:3] + gt_obbs[:, 5:6] / 2,
+        ],
+        axis=1,
+    )
+
+    if center_sampling_radius > 0:
+        in_boxes = _center_sample_mask(aabbs, info, center_sampling_radius)
+    else:
+        in_boxes = jnp.min(reg[..., :6], axis=-1) > 0
+
+    max_reg = jnp.max(reg[..., :6], axis=-1)
+    cared = (max_reg >= info.sizes_of_interest[:, 0:1]) & (
+        max_reg <= info.sizes_of_interest[:, 1:2]
+    )
+    volumes = (
+        (aabbs[:, 3] - aabbs[:, 0]) * (aabbs[:, 4] - aabbs[:, 1]) * (aabbs[:, 5] - aabbs[:, 2])
+    )
+    area = jnp.where(in_boxes & cared & gt_mask[None], volumes[None], INF)
+    min_area = jnp.min(area, axis=1)
+    gt_idx = jnp.argmin(area, axis=1)
+    labels = (min_area < INF).astype(jnp.float32)
+    reg_t = jnp.take_along_axis(reg, gt_idx[:, None, None], axis=1)[:, 0]
+    if norm_reg_targets:
+        reg_t = reg_t.at[..., :6].set(reg_t[..., :6] / info.strides[:, None])
+    return labels, reg_t
+
+
+def rotated_iou_loss(pred, target, loss_type="iou"):
+    """OBB reg loss on 8-param midpoint offsets (ref: loss.py:136-171)."""
+    dummy = jnp.zeros(pred.shape[:-1] + (3,))
+    pred_boxes = decode_fcos_obb(dummy, pred)
+    tgt_boxes = decode_fcos_obb(dummy, target)
+    if loss_type in ("iou", "linear_iou"):
+        ious, _, _, _, unions = cal_iou_3d(pred_boxes, tgt_boxes, verbose=True)
+        inter = ious * unions
+        ious = (inter + 1.0) / (unions + 1.0)
+        return -jnp.log(jnp.maximum(ious, 1e-10)) if loss_type == "iou" else 1.0 - ious
+    if loss_type == "giou":
+        loss, _, _ = cal_giou_3d(pred_boxes, tgt_boxes)
+        return loss
+    if loss_type == "diou":
+        loss, _ = cal_diou_3d(pred_boxes, tgt_boxes)
+        return loss
+    raise NotImplementedError(loss_type)
+
+
+def fcos_loss(
+    info: LevelInfo,
+    logits: jnp.ndarray,  # (N, R)
+    box_reg: jnp.ndarray,  # (N, R, 6|8)
+    centerness: jnp.ndarray,  # (N, R)
+    gt_boxes: jnp.ndarray,  # (N, K, 6|7)
+    gt_mask: jnp.ndarray,  # (N, K)
+    pad_mask: jnp.ndarray | None = None,  # (N, R)
+    center_sampling_radius: float = 1.5,
+    iou_loss_type: str = "iou",
+    norm_reg_targets: bool = True,
+    use_obb: bool = False,
+    use_additional_l1_loss: bool = False,
+    axis_name: str | None = None,
+):
+    """Full FCOS loss (ref: loss.py:477-591). Returns dict of scalars."""
+    target_fn = fcos_targets_obb if use_obb else fcos_targets
+    labels, reg_t = jax.vmap(
+        lambda b, m: target_fn(
+            info, b, m, center_sampling_radius, norm_reg_targets
+        )
+    )(gt_boxes, gt_mask)
+
+    if pad_mask is None:
+        pad_mask = jnp.ones(labels.shape, dtype=bool)
+    pos = (labels > 0) & pad_mask
+
+    def dist_sum(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
+
+    num_pos_global = dist_sum(jnp.sum(pos.astype(jnp.float32)))
+    world = jax.lax.psum(1, axis_name) if axis_name else 1
+    num_pos_avg = jnp.maximum(num_pos_global / world, 1.0)
+
+    cls = sigmoid_focal_loss(logits, labels)
+    cls_loss = jnp.sum(jnp.where(pad_mask, cls, 0.0)) / num_pos_avg
+
+    ctr_t = centerness_target(reg_t[..., :6])
+    ctr_t = jnp.where(pos, ctr_t, 0.0)
+    sum_ctr_avg = jnp.maximum(dist_sum(jnp.sum(ctr_t)) / world, 1e-6)
+
+    if iou_loss_type == "smooth_l1":
+        per = jnp.sum(smooth_l1(box_reg, reg_t), axis=-1) * ctr_t
+        reg_loss = jnp.sum(jnp.where(pos, per, 0.0)) / sum_ctr_avg
+    elif use_obb:
+        per = rotated_iou_loss(box_reg, reg_t, iou_loss_type) * ctr_t
+        reg_loss = jnp.sum(jnp.where(pos, per, 0.0)) / sum_ctr_avg
+        if use_additional_l1_loss:
+            l1 = jnp.sum(smooth_l1(box_reg[..., 6:], reg_t[..., 6:]), -1) * ctr_t
+            reg_loss = reg_loss + jnp.sum(jnp.where(pos, l1, 0.0)) / sum_ctr_avg
+    else:
+        per = iou_loss_6dist(box_reg, reg_t, iou_loss_type) * ctr_t
+        reg_loss = jnp.sum(jnp.where(pos, per, 0.0)) / sum_ctr_avg
+
+    ctr_bce = optax_sigmoid_ce(centerness, ctr_t)
+    ctr_loss = jnp.sum(jnp.where(pos, ctr_bce, 0.0)) / num_pos_avg
+
+    return {
+        "loss_cls": cls_loss,
+        "loss_reg": reg_loss,
+        "loss_centerness": ctr_loss,
+        "num_pos": num_pos_global,
+    }
+
+
+def smooth_l1(pred, target, beta: float = 1.0):
+    d = jnp.abs(pred - target)
+    return jnp.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta)
+
+
+# ---------------------------------------------------------------------------
+# Postprocessor (fixed-shape; ref: fcos/inference.py)
+# ---------------------------------------------------------------------------
+
+
+class Proposals(NamedTuple):
+    boxes: jnp.ndarray  # (N, P, 6|7)
+    scores: jnp.ndarray  # (N, P)
+    level_ids: jnp.ndarray  # (N, P) int32
+    valid: jnp.ndarray  # (N, P) bool
+
+
+def fcos_postprocess(
+    info: LevelInfo,
+    logits: jnp.ndarray,  # (N, R)
+    box_reg: jnp.ndarray,  # (N, R, 6|8) in *voxel* units (stride applied)
+    centerness: jnp.ndarray,  # (N, R)
+    grid_sizes: jnp.ndarray,  # (N, 3)
+    num_levels: int,
+    pre_nms_thresh: float = 0.0,
+    pre_nms_top_n: int = 2500,
+    nms_thresh: float = 0.3,
+    fpn_post_nms_top_n: int = 2500,
+    min_size: float = 0.0,
+    pad_mask: jnp.ndarray | None = None,
+    use_obb: bool = False,
+) -> Proposals:
+    """Decode + filter proposals with static shapes.
+
+    Per level: threshold on sigmoid(cls), take top ``pre_nms_top_n`` by
+    cls*centerness; decode; clip (AABB); drop small. Levels concat ->
+    single-class NMS -> global top ``fpn_post_nms_top_n``. Scores are
+    sqrt(cls * centerness).
+    """
+    n = logits.shape[0]
+    cls_sig = jax.nn.sigmoid(logits)
+    ctr_sig = jax.nn.sigmoid(centerness)
+    if pad_mask is not None:
+        cls_sig = jnp.where(pad_mask, cls_sig, -1e5)
+    candidate = cls_sig > pre_nms_thresh
+    score = cls_sig * ctr_sig
+
+    def per_scene(score_s, cand_s, reg_s, gsize):
+        all_boxes, all_scores, all_valid, all_lvl = [], [], [], []
+        for lvl in range(num_levels):
+            lvl_mask = info.level_ids == lvl
+            s = jnp.where(lvl_mask & cand_s, score_s, -1.0)
+            k = min(pre_nms_top_n, s.shape[0])
+            top_s, top_i = jax.lax.top_k(s, k)
+            valid = top_s > 0
+            locs = info.locations[top_i]
+            reg = reg_s[top_i]
+            if use_obb:
+                boxes = decode_fcos_obb(locs, reg)
+            else:
+                boxes = decode_fcos_aabb(locs, reg[..., :6])
+                boxes = clip_boxes_to_mesh(boxes, gsize)
+            valid &= small_box_mask(boxes, min_size)
+            all_boxes.append(boxes)
+            all_scores.append(jnp.sqrt(jnp.maximum(top_s, 0.0)))
+            all_valid.append(valid)
+            all_lvl.append(jnp.full((k,), lvl, jnp.int32))
+
+        boxes = jnp.concatenate(all_boxes)
+        scores = jnp.concatenate(all_scores)
+        valid = jnp.concatenate(all_valid)
+        lvls = jnp.concatenate(all_lvl)
+
+        keep = nms_ops.nms_mask(boxes, scores, nms_thresh, valid=valid)
+        top_idx, top_mask = nms_ops.top_k_by_score(
+            scores, min(fpn_post_nms_top_n, scores.shape[0]), valid=keep
+        )
+        return (
+            boxes[top_idx],
+            scores[top_idx] * top_mask,
+            lvls[top_idx],
+            top_mask,
+        )
+
+    boxes, scores, lvls, valid = jax.vmap(per_scene)(
+        score, candidate, box_reg, grid_sizes
+    )
+    return Proposals(boxes, scores, lvls, valid)
+
+
+# ---------------------------------------------------------------------------
+# Full model
+# ---------------------------------------------------------------------------
+
+
+class FCOSOverNeRF(nn.Module):
+    """Backbone + FCOS head; the RPN training entry (ref: fcos.py:282-386).
+
+    Operates on a fixed-shape padded batch ``(N, W, L, H, 4)`` plus
+    per-scene ``grid_sizes`` — the pad-to-max transform of the reference
+    becomes host-side bucketing + in-graph masking.
+    """
+
+    backbone: Any
+    fpn_strides: Sequence[int] = (4, 8, 16, 32)
+    num_convs: int = 4
+    norm_reg_targets: bool = True
+    centerness_on_reg: bool = True
+    use_obb: bool = False
+    dtype: jnp.dtype | None = None
+
+    def setup(self):
+        self.head = FCOSHead(
+            num_convs=self.num_convs,
+            num_levels=len(self.fpn_strides),
+            fpn_strides=self.fpn_strides,
+            norm_reg_targets=self.norm_reg_targets,
+            centerness_on_reg=self.centerness_on_reg,
+            use_obb=self.use_obb,
+            dtype=self.dtype,
+        )
+
+    def __call__(self, grids: jnp.ndarray, train: bool = True):
+        """Returns (level_info, logits (N,R), box_reg (N,R,D), centerness
+        (N,R), features)."""
+        features = list(self.backbone(grids))[: len(self.fpn_strides)]
+        logits, box_reg, ctr = self.head(features, train=train)
+
+        info = compute_locations(
+            [f.shape[1:4] for f in features], self.fpn_strides
+        )
+        logits_f = jnp.concatenate([x.reshape(x.shape[0], -1) for x in logits], 1)
+        ctr_f = jnp.concatenate([x.reshape(x.shape[0], -1) for x in ctr], 1)
+        reg_f = jnp.concatenate(
+            [x.reshape(x.shape[0], -1, x.shape[-1]) for x in box_reg], 1
+        )
+        return info, logits_f, reg_f, ctr_f, features
