@@ -450,17 +450,25 @@ def fcos_loss(
     ctr_t = jnp.where(pos, ctr_t, 0.0)
     sum_ctr_avg = jnp.maximum(dist_sum(jnp.sum(ctr_t)) / world, 1e-6)
 
+    # Safe-where: the reference gathers positive rows before the reg loss
+    # (loss.py:530-533); with masking instead, the loss must see benign
+    # values at masked locations or inf/NaN leak into gradients through
+    # jnp.where (targets can have negative distances off-box).
+    safe = jnp.ones_like(reg_t)
+    reg_t_s = jnp.where(pos[..., None], reg_t, safe)
+    box_reg_s = jnp.where(pos[..., None], box_reg, safe)
+
     if iou_loss_type == "smooth_l1":
-        per = jnp.sum(smooth_l1(box_reg, reg_t), axis=-1) * ctr_t
+        per = jnp.sum(smooth_l1(box_reg_s, reg_t_s), axis=-1) * ctr_t
         reg_loss = jnp.sum(jnp.where(pos, per, 0.0)) / sum_ctr_avg
     elif use_obb:
-        per = rotated_iou_loss(box_reg, reg_t, iou_loss_type) * ctr_t
+        per = rotated_iou_loss(box_reg_s, reg_t_s, iou_loss_type) * ctr_t
         reg_loss = jnp.sum(jnp.where(pos, per, 0.0)) / sum_ctr_avg
         if use_additional_l1_loss:
-            l1 = jnp.sum(smooth_l1(box_reg[..., 6:], reg_t[..., 6:]), -1) * ctr_t
+            l1 = jnp.sum(smooth_l1(box_reg_s[..., 6:], reg_t_s[..., 6:]), -1) * ctr_t
             reg_loss = reg_loss + jnp.sum(jnp.where(pos, l1, 0.0)) / sum_ctr_avg
     else:
-        per = iou_loss_6dist(box_reg, reg_t, iou_loss_type) * ctr_t
+        per = iou_loss_6dist(box_reg_s, reg_t_s, iou_loss_type) * ctr_t
         reg_loss = jnp.sum(jnp.where(pos, per, 0.0)) / sum_ctr_avg
 
     ctr_bce = optax_sigmoid_ce(centerness, ctr_t)

@@ -1,0 +1,104 @@
+"""Sharded training steps (pjit-style: jit + NamedSharding annotations).
+
+The reference's trainer loop (AdamW + OneCycleLR + grad clip + DDP
+allreduce, run_fcos.py:322-381) becomes one jitted SPMD step: params
+replicated, batch sharded over the mesh, gradients summed by GSPMD.
+Because the loss is written over the *global* batch, the FCOS
+``reduce_sum`` normalizations (loss.py:202-208) need no explicit
+collective here — ``jnp.sum`` over a sharded array IS the psum.
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from instance_nerf_tpu.models.fcos import fcos_loss, padding_mask
+from instance_nerf_tpu.parallel.mesh import grid_sharding, replicated
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(
+    lr: float = 3e-4,
+    weight_decay: float = 1e-3,
+    clip_grad_norm: float = 0.1,
+    total_steps: int | None = None,
+    pct_start: float = 0.3,
+):
+    """AdamW + grad-clip (+ OneCycle when total_steps given), matching the
+    reference trainer's recipe (run_fcos.py:322-327)."""
+    if total_steps:
+        sched = optax.cosine_onecycle_schedule(
+            transition_steps=total_steps, peak_value=lr, pct_start=pct_start
+        )
+    else:
+        sched = lr
+    return optax.chain(
+        optax.clip_by_global_norm(clip_grad_norm),
+        optax.adamw(learning_rate=sched, weight_decay=weight_decay),
+    )
+
+
+def init_fcos_state(model, tx, example_grids, rng=None) -> TrainState:
+    rng = rng if rng is not None else jax.random.key(0)
+    params = model.init(rng, example_grids)
+    return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+
+
+def make_fcos_train_step(
+    model,
+    tx,
+    mesh=None,
+    reg_loss_weight: float = 1.0,
+    center_sampling_radius: float = 1.5,
+    iou_loss_type: str = "iou",
+    use_obb: bool = False,
+):
+    """Returns jitted ``step(state, grids, grid_sizes, gt_boxes, gt_mask)
+    -> (state, metrics)``. With a mesh, inputs are annotated so the scene
+    batch rides the ``data`` axis and grids shard spatially on ``sp``."""
+
+    def step(state: TrainState, grids, grid_sizes, gt_boxes, gt_mask):
+        def loss_fn(params):
+            info, logits, reg, ctr, _ = model.apply(params, grids, train=True)
+            pm = padding_mask(info, grid_sizes)
+            losses = fcos_loss(
+                info, logits, reg, ctr, gt_boxes, gt_mask,
+                pad_mask=pm,
+                center_sampling_radius=center_sampling_radius,
+                iou_loss_type=iou_loss_type,
+                use_obb=use_obb,
+            )
+            total = (
+                losses["loss_cls"]
+                + reg_loss_weight * losses["loss_reg"]
+                + losses["loss_centerness"]
+            )
+            return total, losses
+
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(losses, total=total)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    if mesh is None:
+        return jax.jit(step)
+
+    gs = grid_sharding(mesh)
+    ds = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+    rep = replicated(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(rep, gs, ds, ds, ds),
+        out_shardings=(rep, rep),
+    )
