@@ -1,0 +1,139 @@
+"""Instance-field CLI — the torch-ngp instance_nerf entry point
+(README.md:55-65): per-scene NGP training, instance-field training from
+matched 2D masks, novel-view rgb/instance rendering, and regular-grid
+RGBσ feature extraction for the detector (stage-1 export).
+
+Usage:
+  # stage A: radiance field
+  python -m instance_nerf_tpu.cli.run_instance_field --scene S --mode train \
+      --steps 20000 --save_path OUT
+  # stage B: instance field from matched masks
+  python -m ... --mode train_instance --masks_dir S/masks_matched \
+      --checkpoint OUT --save_path OUT
+  # render novel views / extract detector features
+  python -m ... --mode render --checkpoint OUT --save_path OUT/renders
+  python -m ... --mode extract_features --checkpoint OUT \
+      --resolution 160 --out_features features/scene.npz
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def build_parser():
+    p = argparse.ArgumentParser("run_instance_field")
+    p.add_argument("--mode", default="train",
+                   choices=["train", "train_instance", "render", "extract_features"])
+    p.add_argument("--scene", default="", help="scene root with transforms.json")
+    p.add_argument("--transforms", default="transforms.json")
+    p.add_argument("--masks_dir", default="", help="matched 2D instance masks (.npy per view)")
+    p.add_argument("--save_path", default="")
+    p.add_argument("--checkpoint", default="")
+    p.add_argument("--steps", type=int, default=20000)
+    p.add_argument("--downscale", type=int, default=1)
+    p.add_argument("--n_rays", type=int, default=4096)
+    p.add_argument("--n_samples", type=int, default=128)
+    p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--n_levels", type=int, default=16)
+    p.add_argument("--log2_table_size", type=int, default=19)
+    p.add_argument("--max_res", type=int, default=1024)
+    p.add_argument("--num_instances", type=int, default=33)
+    p.add_argument("--occ_res", type=int, default=128)
+    p.add_argument("--resolution", type=int, default=160,
+                   help="feature-grid resolution for extract_features")
+    p.add_argument("--out_features", default="")
+    p.add_argument("--log_every", type=int, default=100)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def make_trainer(args):
+    from instance_nerf_tpu.train.ngp_trainer import InstanceFieldTrainer, NGPConfig
+
+    cfg = NGPConfig(
+        n_levels=args.n_levels,
+        table_size=2 ** args.log2_table_size,
+        max_res=args.max_res,
+        num_instances=args.num_instances,
+        n_rays=args.n_rays,
+        n_samples=args.n_samples,
+        lr=args.lr,
+        occ_res=args.occ_res,
+    )
+    return InstanceFieldTrainer(cfg, seed=args.seed)
+
+
+def save_state(trainer, path, args, metrics=None):
+    from instance_nerf_tpu.train.checkpoints import CheckpointManager
+
+    mgr = CheckpointManager(path, keep=2)
+    state = {"params": trainer.params, "occ_grid": trainer.occ.grid}
+    mgr.save(0, state, config=vars(args), metrics=metrics or {})
+
+
+def load_state(trainer, path):
+    from instance_nerf_tpu.train.checkpoints import CheckpointManager
+    from instance_nerf_tpu.models.render import OccupancyGrid
+
+    mgr = CheckpointManager(path)
+    tmpl = {"params": trainer.params, "occ_grid": trainer.occ.grid}
+    state, meta = mgr.restore(tmpl)
+    trainer.params = state["params"]
+    trainer.occ = OccupancyGrid(state["occ_grid"], trainer.occ.threshold)
+    return meta
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from instance_nerf_tpu.data.nerf_dataset import load_nerf_scene
+
+    trainer = make_trainer(args)
+    if args.checkpoint:
+        load_state(trainer, args.checkpoint)
+
+    if args.mode in ("train", "train_instance"):
+        scene = load_nerf_scene(
+            args.scene, args.transforms,
+            masks_dir=args.masks_dir or None,
+            downscale=args.downscale,
+        )
+        stage = "rgb" if args.mode == "train" else "instance"
+        metrics = trainer.train(scene, args.steps, stage=stage,
+                                log_every=args.log_every)
+        print(json.dumps(metrics))
+        if args.save_path:
+            save_state(trainer, args.save_path, args, metrics)
+
+    elif args.mode == "render":
+        scene = load_nerf_scene(args.scene, args.transforms,
+                                downscale=args.downscale)
+        os.makedirs(args.save_path, exist_ok=True)
+        import numpy as np
+        from PIL import Image
+
+        for v in range(scene.num_views):
+            out = trainer.render_image(scene.poses[v], scene.intrinsics, scene.hw)
+            Image.fromarray(
+                (np.clip(out["rgb"], 0, 1) * 255).astype(np.uint8)
+            ).save(os.path.join(args.save_path, f"rgb_{v:03d}.png"))
+            np.save(os.path.join(args.save_path, f"instance_{v:03d}.npy"),
+                    out["instance"])
+        print(json.dumps({"rendered": scene.num_views, "out": args.save_path}))
+
+    elif args.mode == "extract_features":
+        import numpy as np
+
+        grid = trainer.extract_rgbsigma(args.resolution)
+        out = args.out_features or os.path.join(args.save_path, "features.npz")
+        os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
+        np.savez_compressed(
+            out, rgbsigma=grid.astype(np.float32),
+            resolution=np.asarray(grid.shape[:3]),
+        )
+        print(json.dumps({"features": out, "shape": list(grid.shape)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,199 @@
+"""Volumetric rendering: rays, masked dense marching, compositing.
+
+Capability parity with torch-ngp's CUDA ray marcher (absent submodule,
+SURVEY.md §2.10): ray generation from instant-ngp-style camera poses,
+near/far from the unit-cube AABB, occupancy-grid skipping, and alpha
+compositing of color AND instance logits along rays (the Instance-NeRF
+extension).
+
+TPU redesign (BASELINE.json north-star): occupancy skipping is *masked
+dense stepping* — a fixed number of stratified samples per ray whose σ is
+multiplied by a dense occupancy-bitfield lookup — instead of the CUDA
+compaction loop. Static shapes, fully batched; compositing is a
+``cumprod`` over the sample axis.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from instance_nerf_tpu.models.hashgrid import density_activation
+
+
+def camera_rays(c2w: jnp.ndarray, intrinsics, hw, pixel_idx=None):
+    """Rays for pixels of a pinhole camera.
+
+    Args:
+      c2w: (4, 4) or (3, 4) camera-to-world (OpenGL convention: -z fwd).
+      intrinsics: (fx, fy, cx, cy).
+      hw: (H, W).
+      pixel_idx: optional (R,) flat pixel ids to subsample.
+
+    Returns (origins (R, 3), dirs (R, 3) unit).
+    """
+    fx, fy, cx, cy = intrinsics
+    h, w = hw
+    if pixel_idx is None:
+        pixel_idx = jnp.arange(h * w)
+    py = (pixel_idx // w).astype(jnp.float32) + 0.5
+    px = (pixel_idx % w).astype(jnp.float32) + 0.5
+    dirs = jnp.stack(
+        [(px - cx) / fx, -(py - cy) / fy, -jnp.ones_like(px)], axis=-1
+    )
+    rot = c2w[:3, :3]
+    d = dirs @ rot.T
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    o = jnp.broadcast_to(c2w[:3, 3], d.shape)
+    return o, d
+
+
+def ray_aabb(o, d, lo=0.0, hi=1.0, eps=1e-9):
+    """Near/far of ray vs axis-aligned cube [lo, hi]^3. Misses get
+    near > far."""
+    inv = 1.0 / jnp.where(jnp.abs(d) < eps, jnp.where(d < 0, -eps, eps), d)
+    t0 = (lo - o) * inv
+    t1 = (hi - o) * inv
+    tmin = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tmax = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    return jnp.maximum(tmin, 0.0), tmax
+
+
+class OccupancyGrid(NamedTuple):
+    """Dense density cache over the unit cube (ref: torch-ngp's bitfield)."""
+
+    grid: jnp.ndarray  # (G, G, G) float density EMA
+    threshold: float
+
+    @property
+    def res(self):
+        return self.grid.shape[0]
+
+    def occupied(self, xyz):
+        """(..., 3) in [0,1] -> (...,) {0,1} occupancy."""
+        g = self.res
+        grid = jnp.asarray(self.grid)  # may be numpy after ckpt restore
+        idx = jnp.clip((xyz * g).astype(jnp.int32), 0, g - 1)
+        vals = grid[idx[..., 0], idx[..., 1], idx[..., 2]]
+        return (vals > self.threshold).astype(xyz.dtype)
+
+
+def init_occupancy(res: int = 128, threshold: float = 0.01) -> OccupancyGrid:
+    # start fully occupied so early training sees everything
+    return OccupancyGrid(jnp.full((res, res, res), 1e3), threshold)
+
+
+def update_occupancy(
+    occ: OccupancyGrid, sigma_fn, key, decay: float = 0.95,
+    chunk: int = 2 ** 18,
+) -> OccupancyGrid:
+    """EMA-decay + re-sample density at jittered cell centers
+    (torch-ngp's update_extra_state schedule, reconstructed)."""
+    g = occ.res
+    cells = jnp.stack(
+        jnp.meshgrid(*[jnp.arange(g)] * 3, indexing="ij"), axis=-1
+    ).reshape(-1, 3)
+    jitter = jax.random.uniform(key, cells.shape)
+    xyz = (cells + jitter) / g
+
+    sig = jnp.concatenate(
+        [sigma_fn(xyz[i : i + chunk]) for i in range(0, xyz.shape[0], chunk)]
+    )
+    sig = sig.reshape(g, g, g)
+    return OccupancyGrid(jnp.maximum(occ.grid * decay, sig), occ.threshold)
+
+
+class RenderOut(NamedTuple):
+    rgb: jnp.ndarray  # (R, 3)
+    depth: jnp.ndarray  # (R,)
+    acc: jnp.ndarray  # (R,) accumulated opacity
+    instance_logits: jnp.ndarray  # (R, I) composited logits
+    weights: jnp.ndarray  # (R, S)
+
+
+def sample_points(key, o, d, n_samples: int, near, far, stratified: bool = True):
+    """Stratified fixed-count samples in [near, far] -> (xyz (R,S,3), t (R,S), dt (R,S))."""
+    r = o.shape[0]
+    u = jnp.linspace(0.0, 1.0, n_samples + 1)
+    lo_u, hi_u = u[:-1], u[1:]
+    if stratified:
+        jitter = jax.random.uniform(key, (r, n_samples))
+    else:
+        jitter = 0.5
+    tt = lo_u[None] + (hi_u - lo_u)[None] * jitter  # (R, S) in [0,1]
+    span = jnp.maximum(far - near, 1e-6)[:, None]
+    t = near[:, None] + tt * span
+    dt = span / n_samples
+    xyz = o[:, None, :] + t[..., None] * d[:, None, :]
+    return xyz, t, jnp.broadcast_to(dt, t.shape)
+
+
+def composite(
+    sigma_raw: jnp.ndarray,  # (R, S)
+    rgb: jnp.ndarray,  # (R, S, 3)
+    inst_logits: jnp.ndarray | None,  # (R, S, I)
+    t: jnp.ndarray,  # (R, S)
+    dt: jnp.ndarray,  # (R, S)
+    occ_mask: jnp.ndarray | None = None,  # (R, S)
+    valid: jnp.ndarray | None = None,  # (R,) ray hit the AABB
+) -> RenderOut:
+    """Alpha compositing; instance logits composite exactly like color
+    (the Instance-NeRF rendering rule, README.md:65)."""
+    sigma = density_activation(sigma_raw)
+    if occ_mask is not None:
+        sigma = sigma * occ_mask
+    alpha = 1.0 - jnp.exp(-sigma * dt)
+    trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
+    trans = jnp.concatenate([jnp.ones_like(trans[:, :1]), trans[:, :-1]], axis=-1)
+    weights = alpha * trans  # (R, S)
+    if valid is not None:
+        weights = weights * valid[:, None]
+
+    out_rgb = jnp.sum(weights[..., None] * rgb, axis=-2)
+    depth = jnp.sum(weights * t, axis=-1)
+    acc = jnp.sum(weights, axis=-1)
+    if inst_logits is not None:
+        # instance logits composite through DETACHED weights: the
+        # instance-field loss must not reshape the radiance field
+        # (README.md:47 staged recipe — NeRF is trained first and the
+        # instance head is fit against matched masks)
+        w_sg = jax.lax.stop_gradient(weights)
+        out_inst = jnp.sum(w_sg[..., None] * inst_logits, axis=-2)
+        # residual transmittance belongs to the void: credit it to the
+        # background class (index 0) so empty rays aren't stuck at
+        # uniform logits (CE floor of ln(num_instances))
+        bg = jnp.zeros(out_inst.shape[-1]).at[0].set(10.0)
+        residual = 1.0 - jnp.sum(w_sg, axis=-1, keepdims=True)
+        out_inst = out_inst + jnp.maximum(residual, 0.0) * bg
+    else:
+        out_inst = jnp.zeros((*acc.shape, 0))
+    return RenderOut(out_rgb, depth, acc, out_inst, weights)
+
+
+def render_rays(
+    model_apply,
+    params,
+    key,
+    origins: jnp.ndarray,
+    dirs: jnp.ndarray,
+    n_samples: int = 128,
+    occ: OccupancyGrid | None = None,
+    stratified: bool = True,
+    with_instance: bool = True,
+) -> RenderOut:
+    """Full render: AABB clip -> stratified samples -> field query ->
+    composite. ``model_apply(params, xyz, viewdir)`` must return
+    (sigma_raw, rgb, instance_logits)."""
+    near, far = ray_aabb(origins, dirs)
+    valid = far > near
+    far = jnp.maximum(far, near + 1e-4)
+    xyz, t, dt = sample_points(key, origins, dirs, n_samples, near, far, stratified)
+    xyz_c = jnp.clip(xyz, 0.0, 1.0)
+    vd = jnp.broadcast_to(dirs[:, None, :], xyz.shape)
+    sigma_raw, rgb, logits = model_apply(params, xyz_c, vd)
+    occ_mask = occ.occupied(xyz_c) if occ is not None else None
+    return composite(
+        sigma_raw, rgb, logits if with_instance else None,
+        t, dt, occ_mask, valid.astype(xyz.dtype),
+    )

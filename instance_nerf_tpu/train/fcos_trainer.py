@@ -89,15 +89,15 @@ class FCOSConfig:
 class FCOSTrainer:
     def __init__(self, cfg: FCOSConfig):
         self.cfg = cfg
-        # VGG stems only downsample for inputs >= 160 (ref:
-        # feature_extractor.py:331-343); the reference hardwires strides
-        # [4,8,16,32] regardless (run_fcos.py:156) which mismatches small
-        # grids — here the declared strides track the real geometry.
-        if cfg.backbone_type.startswith("vgg") and cfg.resolution < 160:
-            cfg.fpn_strides = (1, 2, 4, 8)
+        # Always use the stride-4 stem (the shipped geometry): the
+        # reference's <160 stride-1 stem variant leaves level 0 at full
+        # grid resolution (feature_extractor.py:331-343) while declaring
+        # strides [4,8,16,32] anyway (run_fcos.py:156) — both wrong
+        # geometry and ~100x head FLOPs. The stride-1 stem stays
+        # available via build_backbone(input_size=...) directly.
         backbone = build_backbone(
             cfg.backbone_type,
-            input_size=cfg.resolution,
+            input_size=max(cfg.resolution, 160),
             in_channels=cfg.input_dim,
             conv_at_start=cfg.conv_at_start,
         )

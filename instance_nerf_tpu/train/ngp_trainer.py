@@ -1,0 +1,255 @@
+"""Instance-field (hash-grid NGP) trainer: staged rgb → instance training.
+
+Capability parity with the torch-ngp instance_nerf training loop
+(README.md:55-65, SURVEY.md §2.10): per-scene NGP training on posed
+images, occupancy-grid maintenance, then instance-field training against
+matched 2D masks (CE on alpha-composited instance logits) with the
+radiance field frozen; novel-view rendering of rgb/depth/instance ids;
+regular-grid RGBσ extraction for the detector (stage-1 feature export,
+README.md:44).
+"""
+from __future__ import annotations
+
+import functools
+import time
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from instance_nerf_tpu.data.nerf_dataset import NeRFScene
+from instance_nerf_tpu.models.hashgrid import InstanceNGP, density_activation
+from instance_nerf_tpu.models.render import (
+    OccupancyGrid,
+    camera_rays,
+    init_occupancy,
+    render_rays,
+    update_occupancy,
+)
+
+
+@dataclass
+class NGPConfig:
+    n_levels: int = 16
+    table_size: int = 2 ** 19
+    n_features: int = 2
+    base_res: int = 16
+    max_res: int = 1024
+    hidden: int = 64
+    num_instances: int = 33
+    n_rays: int = 4096
+    n_samples: int = 128
+    lr: float = 1e-2
+    occ_res: int = 128
+    occ_update_every: int = 16
+    occ_threshold: float = 0.01
+    dtype: str = "float32"  # MLP compute dtype ("bfloat16" on TPU)
+    # indoor masks are overwhelmingly background; upweight labeled
+    # foreground rays so small instances aren't drowned out
+    instance_fg_weight: float = 5.0
+
+
+class InstanceFieldTrainer:
+    def __init__(self, cfg: NGPConfig, seed: int = 0):
+        self.cfg = cfg
+        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else None
+        self.model = InstanceNGP(
+            n_levels=cfg.n_levels,
+            table_size=cfg.table_size,
+            n_features=cfg.n_features,
+            base_res=cfg.base_res,
+            max_res=cfg.max_res,
+            hidden=cfg.hidden,
+            num_instances=cfg.num_instances,
+            dtype=dtype,
+        )
+        self.key = jax.random.key(seed)
+        self.np_rng = np.random.default_rng(seed)
+        xyz0 = jnp.zeros((1, 3))
+        vd0 = jnp.asarray([[0.0, 0.0, 1.0]])
+        self.params = self.model.init(jax.random.key(seed), xyz0, vd0)
+        self.tx = optax.adam(cfg.lr, b1=0.9, b2=0.99, eps=1e-15)
+        self.opt_state = self.tx.init(self.params)
+        self.occ = init_occupancy(cfg.occ_res, cfg.occ_threshold)
+        self._step_fns = {}
+
+    # -- jitted pieces -------------------------------------------------------
+
+    def _apply(self, params, xyz, vd):
+        return self.model.apply(params, xyz, vd)
+
+    def _make_step(self, stage: str):
+        cfg = self.cfg
+
+        @jax.jit
+        def step(params, opt_state, occ_grid, key, o, d, target_rgb, target_inst):
+            occ = OccupancyGrid(occ_grid, cfg.occ_threshold)
+
+            def loss_fn(p):
+                out = render_rays(
+                    self._apply, p, key, o, d,
+                    n_samples=cfg.n_samples, occ=occ,
+                    with_instance=stage != "rgb",
+                )
+                losses = {}
+                rgb_loss = jnp.mean((out.rgb - target_rgb) ** 2)
+                losses["rgb"] = rgb_loss
+                total = rgb_loss if stage != "instance" else 0.0
+                if stage != "rgb":
+                    valid = target_inst >= 0
+                    logp = jax.nn.log_softmax(out.instance_logits, axis=-1)
+                    ce = -jnp.take_along_axis(
+                        logp, jnp.clip(target_inst, 0)[:, None], axis=-1
+                    )[:, 0]
+                    w = jnp.where(target_inst > 0, cfg.instance_fg_weight, 1.0)
+                    w = jnp.where(valid, w, 0.0)
+                    inst_loss = jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1)
+                    losses["instance"] = inst_loss
+                    total = total + inst_loss
+                losses["psnr"] = -10.0 * jnp.log10(jnp.maximum(rgb_loss, 1e-8))
+                return total, losses
+
+            (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, losses
+
+        return step
+
+    def _step_fn(self, stage):
+        if stage not in self._step_fns:
+            self._step_fns[stage] = self._make_step(stage)
+        return self._step_fns[stage]
+
+    def _sigma_fn(self, params):
+        def f(xyz):
+            sigma_raw, _ = self.model.apply(
+                params, xyz, method=InstanceNGP.query
+            )
+            return density_activation(sigma_raw)
+
+        return f
+
+    # -- training ------------------------------------------------------------
+
+    def train(self, scene: NeRFScene, steps: int, stage: str = "rgb",
+              log_every: int = 100, log=print):
+        cfg = self.cfg
+        step_fn = self._step_fn(stage)
+        poses = jnp.asarray(scene.poses)
+        t0 = time.time()
+        last = {}
+        for i in range(steps):
+            v, pix, rgb, inst = scene.ray_batch(self.np_rng, cfg.n_rays)
+            o, d = self._rays_multi(poses, v, pix, scene)
+            self.key, sk = jax.random.split(self.key)
+            inst_t = (
+                jnp.asarray(inst) if inst is not None
+                else jnp.zeros((cfg.n_rays,), jnp.int32)
+            )
+            self.params, self.opt_state, last = step_fn(
+                self.params, self.opt_state, self.occ.grid, sk,
+                o, d, jnp.asarray(rgb), inst_t,
+            )
+            if (i + 1) % cfg.occ_update_every == 0 and stage != "instance":
+                self.key, ok = jax.random.split(self.key)
+                self.occ = update_occupancy(
+                    self.occ, jax.jit(self._sigma_fn(self.params)), ok
+                )
+            if (i + 1) % log_every == 0:
+                m = {k: float(val) for k, val in last.items()}
+                rate = cfg.n_rays * (i + 1) / (time.time() - t0)
+                log(f"[{stage}] step {i+1}: " +
+                    " ".join(f"{k}={v:.4f}" for k, v in m.items()) +
+                    f" ({rate:.0f} rays/s)")
+        return {k: float(v) for k, v in last.items()}
+
+    def _rays_multi(self, poses, views, pix, scene):
+        """Rays for a mixed-view batch (vectorized over per-ray poses)."""
+        c2w = poses[jnp.asarray(views)]  # (R, 4, 4)
+        fx, fy, cx, cy = scene.intrinsics
+        h, w = scene.hw
+        pixj = jnp.asarray(pix)
+        py = (pixj // w).astype(jnp.float32) + 0.5
+        px = (pixj % w).astype(jnp.float32) + 0.5
+        dirs = jnp.stack(
+            [(px - cx) / fx, -(py - cy) / fy, -jnp.ones_like(px)], axis=-1
+        )
+        d = jnp.einsum("rij,rj->ri", c2w[:, :3, :3], dirs)
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        return c2w[:, :3, 3], d
+
+    # -- inference -----------------------------------------------------------
+
+    def render_image(self, pose, intrinsics, hw, chunk: int = 8192,
+                     with_instance: bool = True):
+        """Full-image render -> dict(rgb (H,W,3), depth, acc, instance (H,W))."""
+        h, w = hw
+        o, d = camera_rays(jnp.asarray(pose), intrinsics, hw)
+        outs = {"rgb": [], "depth": [], "acc": [], "inst": []}
+        render = jax.jit(functools.partial(
+            render_rays, self._apply,
+            n_samples=self.cfg.n_samples, occ=self.occ,
+            stratified=False, with_instance=with_instance,
+        ), static_argnames=())
+        for s in range(0, h * w, chunk):
+            sl = slice(s, min(s + chunk, h * w))
+            # pad the final chunk to the static size
+            os_, ds_ = o[sl], d[sl]
+            npad = chunk - os_.shape[0]
+            if npad:
+                os_ = jnp.pad(os_, ((0, npad), (0, 0)))
+                ds_ = jnp.pad(ds_, ((0, npad), (0, 0)), constant_values=1.0)
+            out = render(self.params, jax.random.key(0), os_, ds_)
+            take = sl.stop - sl.start
+            outs["rgb"].append(np.asarray(out.rgb[:take]))
+            outs["depth"].append(np.asarray(out.depth[:take]))
+            outs["acc"].append(np.asarray(out.acc[:take]))
+            if with_instance:
+                ids = np.asarray(jnp.argmax(out.instance_logits[:take], axis=-1))
+                outs["inst"].append(ids)
+        res = {
+            "rgb": np.concatenate(outs["rgb"]).reshape(h, w, 3),
+            "depth": np.concatenate(outs["depth"]).reshape(h, w),
+            "acc": np.concatenate(outs["acc"]).reshape(h, w),
+        }
+        if with_instance:
+            res["instance"] = np.concatenate(outs["inst"]).reshape(h, w)
+        return res
+
+    def extract_rgbsigma(self, resolution, chunk: int = 2 ** 16) -> np.ndarray:
+        """Sample the field on a regular grid -> (W, L, H, 4) raw RGBσ —
+        the detector's input features (stage 1, README.md:44)."""
+        if isinstance(resolution, int):
+            resolution = (resolution,) * 3
+        w, l, h = resolution
+        axes = [
+            (jnp.arange(n, dtype=jnp.float32) + 0.5) / n for n in resolution
+        ]
+        gx, gy, gz = jnp.meshgrid(*axes, indexing="ij")
+        xyz = jnp.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=-1)
+        vd = jnp.asarray([0.0, 0.0, -1.0])
+
+        @jax.jit
+        def q(params, pts):
+            sigma_raw, geo = self.model.apply(params, pts, method=InstanceNGP.query)
+            rgb = self.model.apply(
+                params, geo, jnp.broadcast_to(vd, pts.shape),
+                method=InstanceNGP.color,
+            )
+            return sigma_raw, rgb
+
+        out = np.zeros((w * l * h, 4), np.float32)
+        n = xyz.shape[0]
+        for s in range(0, n, chunk):
+            pts = xyz[s : s + chunk]
+            npad = chunk - pts.shape[0]
+            if npad:
+                pts = jnp.pad(pts, ((0, npad), (0, 0)))
+            sigma_raw, rgb = q(self.params, pts)
+            take = min(chunk, n - s)
+            out[s : s + take, :3] = np.asarray(rgb[:take])
+            out[s : s + take, 3] = np.asarray(sigma_raw[:take])
+        return out.reshape(w, l, h, 4)

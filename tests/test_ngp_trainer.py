@@ -1,0 +1,79 @@
+import numpy as np
+import pytest
+
+from instance_nerf_tpu.data.nerf_dataset import make_synthetic_nerf_scene
+from instance_nerf_tpu.train.ngp_trainer import InstanceFieldTrainer, NGPConfig
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    return NGPConfig(
+        n_levels=8,
+        table_size=2 ** 14,
+        max_res=128,
+        hidden=32,
+        num_instances=5,
+        n_rays=1024,
+        n_samples=48,
+        occ_res=32,
+        occ_update_every=50,
+        lr=1e-2,
+    )
+
+
+@pytest.fixture(scope="module")
+def trained(tiny_cfg):
+    rng = np.random.default_rng(0)
+    scene, boxes = make_synthetic_nerf_scene(rng, n_views=6, hw=(40, 40), n_blobs=2)
+    trainer = InstanceFieldTrainer(tiny_cfg, seed=0)
+    m0 = trainer.train(scene, steps=30, stage="rgb", log_every=1000)
+    m1 = trainer.train(scene, steps=170, stage="rgb", log_every=1000)
+    return trainer, scene, boxes, m0, m1
+
+
+def test_rgb_training_improves_psnr(trained):
+    _, _, _, m0, m1 = trained
+    assert m1["psnr"] > m0["psnr"] + 2.0, (m0, m1)
+    assert m1["psnr"] > 15.0
+
+
+def test_instance_stage_trains(trained):
+    trainer, scene, _, _, _ = trained
+    mi = trainer.train(scene, steps=120, stage="instance", log_every=1000)
+    assert mi["instance"] < 0.5, mi
+
+
+def test_render_image_matches_gt(trained):
+    trainer, scene, _, _, _ = trained
+    out = trainer.render_image(
+        scene.poses[0], scene.intrinsics, scene.hw, chunk=1024
+    )
+    assert out["rgb"].shape == (40, 40, 3)
+    mse = np.mean((out["rgb"] - scene.images[0]) ** 2)
+    psnr = -10 * np.log10(max(mse, 1e-8))
+    assert psnr > 14.0, psnr
+    # instance ids: compare against gt mask where both are confident
+    gt = scene.masks[0]
+    pred = out["instance"]
+    labeled = (gt > 0) & (out["acc"] > 0.5)
+    if labeled.sum() > 20:
+        acc = (pred[labeled] == gt[labeled]).mean()
+        assert acc > 0.6, acc
+
+
+def test_extract_rgbsigma_grid(trained):
+    trainer, scene, boxes, _, _ = trained
+    grid = trainer.extract_rgbsigma((24, 24, 24))
+    assert grid.shape == (24, 24, 24, 4)
+    from instance_nerf_tpu.data.datasets import ngp_density_to_alpha
+
+    alpha = ngp_density_to_alpha(grid[..., 3])
+    # inside the first gt blob: dense; far corner: empty. The learned σ
+    # only needs to saturate per-step alpha, so grid alpha is modest
+    # (the gt field itself gives 0.42 under the ngp convention) — test
+    # contrast, not absolutes.
+    b = boxes[0]
+    c = ((b[:3] + b[3:]) / 2 * 24).astype(int)
+    assert alpha[c[0], c[1], c[2]] > 0.08
+    assert alpha[0, 0, 0] < 0.02
+    assert alpha[c[0], c[1], c[2]] > 5 * alpha[0, 0, 0]
