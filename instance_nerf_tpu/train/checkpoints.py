@@ -94,6 +94,22 @@ class CheckpointManager:
         steps = self.all_steps()
         return steps[-1] if steps else None
 
+    def restore_any(self, step: int | None = None, best: bool = False):
+        """Restore without a template (returns plain numpy pytree + meta).
+        Used to graft sub-trees (e.g. RPN backbone -> RCNN) across
+        differently-shaped states (run_rcnn.py:390-427 pattern)."""
+        if best:
+            path = os.path.join(self.dir, "best")
+        else:
+            step = step if step is not None else self.latest_step()
+            if step is None:
+                raise FileNotFoundError(f"no checkpoints in {self.dir}")
+            path = os.path.join(self.dir, f"step_{step}")
+        state = self._ckptr.restore(os.path.join(path, "state"))
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        return state, meta
+
     def restore(self, state_template: Any, step: int | None = None,
                 best: bool = False):
         """Restore into the structure of ``state_template``. Returns

@@ -1,0 +1,364 @@
+"""NeRF-RCNN trainer: RoI-head training over precomputed proposals.
+
+Capability parity with ``nerf_rcnn/run_rcnn.py`` (SURVEY.md §2.12): loads
+an RPN checkpoint and freezes backbone(+rpn) weights (run_rcnn.py:403-427
+via requires_grad=False -> here an optax.masked optimizer), trains the
+RoI heads on the SegmentationDataset's precomputed rois
+(``use_input_rois``), evaluates 3D box+mask mAP/AR and exports top-k
+masks npz per scene (run_rcnn.py:605-726), benchmark + check_arch modes.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from dataclasses import asdict, dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from instance_nerf_tpu.data.datasets import SegmentationDataset
+from instance_nerf_tpu.eval.metrics import evaluate_map_recall
+from instance_nerf_tpu.models.backbones import build_backbone
+from instance_nerf_tpu.models.rcnn import (
+    Detections,
+    NeRF_RCNN,
+    fastrcnn_loss,
+    maskrcnn_inference,
+    maskrcnn_loss,
+    paste_detections,
+    postprocess_detections,
+    select_training_samples,
+)
+from instance_nerf_tpu.parallel.mesh import data_axis_size, make_mesh
+from instance_nerf_tpu.train.checkpoints import CheckpointManager
+from instance_nerf_tpu.train.train_utils import partition_optimizer
+
+log = logging.getLogger("rcnn_trainer")
+
+
+@dataclass
+class RCNNConfig:
+    dataset_root: str = ""
+    dataset_split: str = ""
+    save_path: str = ""
+    rpn_ckpt: str = ""
+    rcnn_ckpt: str = ""
+    backbone_type: str = "vgg_EF"
+    resolution: int = 160
+    num_classes: int = 11  # 10 fg + background
+    bbox_type: str = "aabb"
+    batch_size: int = 4
+    num_epochs: int = 200
+    lr: float = 1e-3
+    weight_decay: float = 1e-2
+    clip_grad_norm: float = 0.1
+    log_interval: int = 20
+    eval_interval: int = 5
+    keep_checkpoints: int = 2
+    freeze_backbone: bool = True
+    # RoI head params (run_rcnn defaults)
+    batch_size_per_image: int = 512
+    positive_fraction: float = 0.25
+    fg_iou_thresh: float = 0.25
+    bg_iou_thresh: float = 0.25
+    box_score_thresh: float = 0.0
+    box_nms_thresh: float = 0.15
+    detections_per_img: int = 25
+    max_rois: int = 256
+    eval_rois: int = 20  # inference.sh: rois[:20]
+    max_gt: int = 32
+    mask_paste_threshold: float = 0.5
+    seed: int = 0
+
+
+class RCNNTrainer:
+    def __init__(self, cfg: RCNNConfig):
+        self.cfg = cfg
+        backbone = build_backbone(
+            cfg.backbone_type, input_size=max(cfg.resolution, 160)
+        )
+        self.model = NeRF_RCNN(
+            backbone=backbone,
+            num_classes=cfg.num_classes,
+            box_dim=8 if cfg.bbox_type == "obb" else 6,
+            input_shape=(cfg.resolution,) * 3,
+        )
+        n_dev = jax.device_count()
+        self.mesh = make_mesh(n_data=data_axis_size(cfg.batch_size, n_dev))
+        self.params = None
+        self.opt_state = None
+        self.tx = None
+        self.ckpt = (
+            CheckpointManager(cfg.save_path, keep=cfg.keep_checkpoints,
+                              best_metric="mask_mAP_25")
+            if cfg.save_path else None
+        )
+        self.key = jax.random.key(cfg.seed)
+        self._step = None
+        self.mask_slots = int(cfg.batch_size_per_image * cfg.positive_fraction)
+
+    # -- state ----------------------------------------------------------------
+
+    def init_state(self, example_batch=None):
+        cfg = self.cfg
+        g = 32
+        grids = jnp.zeros((1, g, g, g, 4))
+        rois = jnp.asarray([[[2.0, 2, 2, 20, 20, 20]]])
+        self.params = self.model.init(
+            jax.random.key(cfg.seed), grids, rois, with_masks=True
+        )
+        if cfg.rpn_ckpt:
+            # restore the RPN training state and graft its backbone params
+            mgr = CheckpointManager(cfg.rpn_ckpt)
+            state, meta = mgr.restore_any()
+            # FCOS TrainState tuple: (params, opt_state, step)
+            rpn_params = state["params"] if isinstance(state, dict) and "params" in state else state[0]
+            self.params = graft_backbone(self.params, rpn_params)
+            log.info("grafted backbone from RPN ckpt step=%s", meta.get("step"))
+        if cfg.rcnn_ckpt:
+            mgr = CheckpointManager(cfg.rcnn_ckpt)
+            self.params, meta = mgr.restore(self.params)
+            log.info("restored RCNN ckpt step=%s", meta.get("step"))
+
+        base = optax.chain(
+            optax.clip_by_global_norm(cfg.clip_grad_norm),
+            optax.adamw(cfg.lr, weight_decay=cfg.weight_decay),
+        )
+        if cfg.freeze_backbone:
+            self.tx = partition_optimizer(
+                base, self.params, frozen_prefixes=("backbone",)
+            )
+        else:
+            self.tx = base
+        self.opt_state = self.tx.init(self.params)
+
+    # -- train ----------------------------------------------------------------
+
+    def _make_step(self):
+        cfg = self.cfg
+
+        @jax.jit
+        def step(params, opt_state, key, grids, grid_sizes, rois, roi_valid,
+                 gt_boxes, gt_labels, gt_mask, gt_vmasks):
+            k_sample, _ = jax.random.split(key)
+            s = select_training_samples(
+                k_sample, rois, roi_valid, gt_boxes, gt_labels, gt_mask,
+                batch_size_per_image=cfg.batch_size_per_image,
+                positive_fraction=cfg.positive_fraction,
+                fg_iou_thresh=cfg.fg_iou_thresh,
+                bg_iou_thresh=cfg.bg_iou_thresh,
+            )
+            m = self.mask_slots
+
+            def pack_pos(x, pos):
+                order = jnp.argsort(~pos, stable=True)
+                return x[order[:m]], pos[order[:m]]
+
+            def loss_fn(p):
+                feats, logits, deltas = self.model.apply(p, grids, s.rois)
+                cls_loss, box_loss = fastrcnn_loss(
+                    logits, deltas, s.labels, s.reg_targets, s.valid
+                )
+                # mask branch on packed positive slots
+                mask_rois = []
+                mask_meta = []
+                for i in range(grids.shape[0]):
+                    idx = jnp.argsort(~s.pos[i], stable=True)[:m]
+                    mask_rois.append(s.rois[i][idx])
+                    mask_meta.append(
+                        (s.labels[i][idx], s.matched_gt_idx[i][idx], s.pos[i][idx])
+                    )
+                mrois = jnp.stack(mask_rois)
+                mlogits = self.model.apply(
+                    p, feats, mrois, method=NeRF_RCNN.mask_forward
+                )
+                mloss = 0.0
+                for i in range(grids.shape[0]):
+                    lab, midx, pos = mask_meta[i]
+                    mloss = mloss + maskrcnn_loss(
+                        mlogits[i], mrois[i], gt_vmasks[i], lab, midx, pos
+                    )
+                mloss = mloss / grids.shape[0]
+                total = cls_loss + box_loss + mloss
+                return total, {
+                    "loss_classifier": cls_loss,
+                    "loss_box_reg": box_loss,
+                    "loss_mask": mloss,
+                    "total": total,
+                    "num_pos": jnp.sum(s.pos),
+                }
+
+            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, metrics
+
+        return step
+
+    def train_loop(self):
+        cfg = self.cfg
+        ds = SegmentationDataset("train", cfg.dataset_root, cfg.dataset_split or None)
+        val = SegmentationDataset("val", cfg.dataset_root, cfg.dataset_split or None)
+        if self.params is None:
+            self.init_state()
+        step_fn = self._make_step()
+        rng = np.random.default_rng(cfg.seed)
+        steps_per_epoch = max(1, len(ds) // cfg.batch_size)
+        gstep = 0
+        for epoch in range(cfg.num_epochs):
+            order = rng.permutation(len(ds))
+            t0 = time.time()
+            for sidx in range(steps_per_epoch):
+                idx = order[sidx * cfg.batch_size : (sidx + 1) * cfg.batch_size]
+                if len(idx) < cfg.batch_size:
+                    idx = np.concatenate([idx, order[: cfg.batch_size - len(idx)]])
+                b = ds.batch(idx, (cfg.resolution,) * 3, max_gt=cfg.max_gt,
+                             max_rois=cfg.max_rois)
+                self.key, sk = jax.random.split(self.key)
+                self.params, self.opt_state, metrics = step_fn(
+                    self.params, self.opt_state, sk,
+                    jnp.asarray(b.grids), jnp.asarray(b.grid_sizes),
+                    jnp.asarray(b.rois), jnp.asarray(b.roi_mask),
+                    jnp.asarray(b.gt_boxes), jnp.asarray(b.gt_labels),
+                    jnp.asarray(b.gt_mask), jnp.asarray(b.gt_voxel_masks),
+                )
+                gstep += 1
+                if gstep % cfg.log_interval == 0:
+                    mm = {k: float(v) for k, v in metrics.items()}
+                    log.info(
+                        "epoch %d step %d: total=%.4f cls=%.4f box=%.4f mask=%.4f npos=%d (%.2fs/it)",
+                        epoch, gstep, mm["total"], mm["loss_classifier"],
+                        mm["loss_box_reg"], mm["loss_mask"], int(mm["num_pos"]),
+                        (time.time() - t0) / (sidx + 1),
+                    )
+            if (epoch + 1) % cfg.eval_interval == 0:
+                metrics = self.eval(val)
+                log.info("epoch %d eval: %s", epoch, json.dumps(metrics))
+                if self.ckpt:
+                    self.ckpt.save(gstep, self.params, config=asdict(cfg),
+                                   metrics=metrics)
+        if self.ckpt:
+            self.ckpt.save(gstep, self.params, config=asdict(cfg))
+
+    # -- eval -----------------------------------------------------------------
+
+    def predict_scene(self, grid, rois, with_masks=True):
+        """One scene: rois (P, 6) -> Detections + full-grid masks."""
+        cfg = self.cfg
+        w, l, h = grid.shape[:3]
+        grids = jnp.asarray(grid)[None]
+        p = min(rois.shape[0], cfg.eval_rois)
+        rois_j = jnp.asarray(rois[:p])[None]
+        feats, logits, deltas = self.model.apply(self.params, grids, rois_j)
+        det = postprocess_detections(
+            logits, deltas, rois_j, jnp.ones((1, p), bool),
+            jnp.asarray([[float(w), float(l), float(h)]]),
+            score_thresh=cfg.box_score_thresh,
+            nms_thresh=cfg.box_nms_thresh,
+            detections_per_img=cfg.detections_per_img,
+        )
+        det0 = Detections(*[x[0] for x in det])
+        masks = None
+        if with_masks:
+            mlogits = self.model.apply(
+                self.params, feats, det.boxes, method=NeRF_RCNN.mask_forward
+            )
+            probs = maskrcnn_inference(mlogits[0], det0.labels)
+            masks = paste_detections(det0, probs, (w, l, h),
+                                     cfg.mask_paste_threshold)
+        return det0, masks
+
+    def eval(self, dataset: SegmentationDataset, save_masks_path=None):
+        cfg = self.cfg
+        pb, ps, pl, gb, gl = [], [], [], [], []
+        pm, gm = [], []
+        for i in range(len(dataset)):
+            d = dataset.load_scene(i)
+            det, masks = self.predict_scene(d["grid"], d["rois"])
+            v = np.asarray(det.valid)
+            pb.append(np.asarray(det.boxes)[v])
+            ps.append(np.asarray(det.scores)[v])
+            pl.append(np.asarray(det.labels)[v])
+            pm.append(np.asarray(masks)[v])
+            gb.append(d["boxes"] if d["boxes"] is not None else np.zeros((0, 6)))
+            gl.append(d["class_ids"] if d["class_ids"] is not None else np.zeros(0))
+            gm.append(d["masks"] if d["masks"] is not None else
+                      np.zeros((0, *d["grid"].shape[:3])))
+            if save_masks_path:
+                os.makedirs(save_masks_path, exist_ok=True)
+                np.savez_compressed(
+                    os.path.join(save_masks_path, d["scene"] + ".npz"),
+                    masks=np.asarray(masks)[v], scores=np.asarray(det.scores)[v],
+                    labels=np.asarray(det.labels)[v], boxes=np.asarray(det.boxes)[v],
+                )
+
+        def nmean(x):
+            x = np.asarray(x[1:], np.float64)
+            return float(np.nanmean(x)) if x.size and not np.isnan(x).all() else 0.0
+
+        out = {}
+        for thr in (0.25, 0.5):
+            ap, rec = evaluate_map_recall(pb, ps, pl, gb, gl, iou_thresh=thr)
+            out[f"box_mAP_{int(thr*100)}"] = nmean(ap)
+            out[f"box_AR_{int(thr*100)}"] = nmean(rec)
+            ap_m, rec_m = evaluate_map_recall(pm, ps, pl, gm, gl,
+                                              iou_thresh=thr, iou_type="mask")
+            out[f"mask_mAP_{int(thr*100)}"] = nmean(ap_m)
+            out[f"mask_AR_{int(thr*100)}"] = nmean(rec_m)
+        return out
+
+    # -- misc -----------------------------------------------------------------
+
+    def check_arch(self, grid_size=64):
+        """Smoke forward on random input (ref: run_rcnn.py:219-238)."""
+        if self.params is None:
+            self.init_state()
+        rng = np.random.default_rng(0)
+        grid = rng.uniform(0, 1, (grid_size,) * 3 + (4,)).astype(np.float32)
+        rois, _ = _random_rois(rng, grid_size, 8)
+        det, masks = self.predict_scene(grid, rois)
+        return {
+            "detections": int(np.asarray(det.valid).sum()),
+            "mask_shape": list(np.asarray(masks).shape),
+        }
+
+    def benchmark(self, reps=50, shape=(200, 200, 130)):
+        if self.params is None:
+            self.init_state()
+        rng = np.random.default_rng(0)
+        grid = rng.uniform(0, 1, (*shape, 4)).astype(np.float32)
+        rois, _ = _random_rois(rng, min(shape), self.cfg.eval_rois)
+        t0 = time.perf_counter()
+        self.predict_scene(grid, rois)  # compile
+        compile_s = time.perf_counter() - t0
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            det, masks = self.predict_scene(grid, rois)
+            np.asarray(masks)  # host sync
+            times.append((time.perf_counter() - t0) * 1000)
+        return {
+            "mean_ms": float(np.mean(times)),
+            "std_ms": float(np.std(times)),
+            "compile_s": compile_s,
+        }
+
+
+def _random_rois(rng, grid_size, n):
+    lo = rng.uniform(0, grid_size * 0.6, (n, 3))
+    hi = lo + rng.uniform(grid_size * 0.1, grid_size * 0.4, (n, 3))
+    return np.concatenate([lo, np.minimum(hi, grid_size)], 1).astype(np.float32), None
+
+
+def graft_backbone(dst_params, src_params):
+    """Copy backbone params from an RPN checkpoint into the RCNN tree."""
+    import flax
+
+    dst = flax.core.unfreeze(dst_params) if hasattr(flax.core, "unfreeze") else dict(dst_params)
+    src_bb = src_params["params"]["backbone"]
+    dst["params"]["backbone"] = src_bb
+    return dst
