@@ -86,11 +86,19 @@ def projection_loss_points(pred_pts, target_pts, weights, res: int,
     # safe-where: zero-weight rows must not contribute inf*0 = NaN grads
     sel = weights > 0
     pred_h = jnp.where(sel[..., None], pred_h, tgt_h)
+    # early-training decoded boxes can be wild (exp deltas) and cross the
+    # camera plane, where the 1/z^2 projection gradient overflows f32 —
+    # clamp points into a sane multiple of the grid and keep |z| >= res/4
+    lim = 4.0 * res
+    pred_h = jnp.concatenate(
+        [jnp.clip(pred_h[..., :3], -lim, lim), pred_h[..., 3:]], axis=-1
+    )
+    z_eps = res / 4.0
 
     total = 0.0
     for i in range(w2cs.shape[0]):
-        p2 = project(K, w2cs[i], pred_h)
-        t2 = project(K, w2cs[i], tgt_h)
+        p2 = project(K, w2cs[i], pred_h, eps=z_eps)
+        t2 = project(K, w2cs[i], tgt_h, eps=z_eps)
         per = jnp.sum(sl1(p2 - t2), axis=-1)  # (M,)
         total = total + jnp.sum(jnp.where(sel, per * weights, 0.0))
     return total / res

@@ -160,8 +160,12 @@ class FCOSTrainer:
             self.model, self.tx, example, jax.random.key(cfg.seed)
         )
         if cfg.checkpoint:
+            # template-free: eval-time optimizer trees differ (schedule
+            # state); only params are needed to continue or evaluate
             mgr = CheckpointManager(cfg.checkpoint)
-            self.state, meta = mgr.restore(self.state)
+            state, meta = mgr.restore_any()
+            restored = state["params"] if isinstance(state, dict) and "params" in state else state[0]
+            self.state = TrainState(restored, self.state.opt_state, self.state.step)
             log.info("restored checkpoint step=%s", meta.get("step"))
 
     # -- train --------------------------------------------------------------
