@@ -59,6 +59,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_spatial", type=int, default=1,
                    help="spatial (sp) mesh axis size; data axis uses the rest")
     p.add_argument("--max_gt", type=int, default=64)
+    p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     return p
 

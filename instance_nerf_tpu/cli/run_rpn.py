@@ -52,6 +52,7 @@ def build_parser():
     p.add_argument("--filter_threshold", type=float, default=0.7)
     p.add_argument("--output_voxel_scores", action="store_true")
     p.add_argument("--max_gt", type=int, default=64)
+    p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -89,6 +90,7 @@ def config_from_args(args):
         rotate_prob=args.rotate_prob,
         rot_scale_prob=args.rot_scale_prob,
         max_gt=args.max_gt,
+        resume=args.resume,
         seed=args.seed,
     )
 

@@ -343,6 +343,86 @@ class SegmentationDataset:
         return RCNNBatch(grids, sizes, gt, labels, gt_m, vmasks, rois, rlvl, rm, scenes)
 
 
+class RPNClassificationDataset:
+    """Legacy two-stage classification dataset: precomputed FPN
+    ``level_features`` + proposals per scene (the run_rpn --save_results
+    export), with the fine-tune filter dropping RoIs covering > half the
+    scene volume. Semantics: datasets.py:500-664 (SURVEY.md §2.13 —
+    legacy path, kept for capability parity)."""
+
+    def __init__(self, features_dir: str, rois_dir: str,
+                 boxes_path: str | None = None,
+                 scene_list: Sequence[str] | None = None,
+                 filter_large_rois: bool = False,
+                 max_volume_fraction: float = 0.5):
+        self.features_dir = features_dir
+        self.rois_dir = rois_dir
+        self.boxes_path = boxes_path
+        self.filter_large = filter_large_rois
+        self.max_volume_fraction = max_volume_fraction
+        if scene_list is None:
+            scene_list = sorted(
+                f[:-4] for f in os.listdir(rois_dir) if f.endswith(".npz")
+            )
+        self.scenes = list(scene_list)
+
+    def __len__(self):
+        return len(self.scenes)
+
+    def load_scene(self, index: int):
+        scene = self.scenes[index]
+        feats_npz = np.load(os.path.join(self.features_dir, scene + ".npz"))
+        levels = [feats_npz[k] for k in sorted(feats_npz.files) if k.startswith("level_")]
+        rois_npz = np.load(os.path.join(self.rois_dir, scene + ".npz"))
+        proposals = rois_npz["proposals"].astype(np.float32)
+        level_indices = rois_npz["level_indices"].astype(np.int64)
+        if self.filter_large and "resolution" in feats_npz:
+            res = feats_npz["resolution"].astype(np.float64)
+            vol = np.prod(
+                np.clip(proposals[:, 3:6] - proposals[:, 0:3], 0, None), axis=1
+            )
+            keep = vol <= self.max_volume_fraction * np.prod(res)
+            proposals, level_indices = proposals[keep], level_indices[keep]
+        boxes = None
+        if self.boxes_path:
+            js = os.path.join(self.boxes_path, scene + ".json")
+            npy = os.path.join(self.boxes_path, scene + ".npy")
+            if os.path.isfile(npy):
+                boxes = np.load(npy).astype(np.float32)
+            elif os.path.isfile(js):
+                with open(js) as f:
+                    res = feats_npz.get("resolution", np.asarray(levels[0].shape[:3]) * 4)
+                    boxes, _ = boxes_from_metadata(json.load(f), res)
+        return dict(scene=scene, level_features=levels, proposals=proposals,
+                    level_indices=level_indices, boxes=boxes)
+
+
+class GeneralRPNDataset(RPNDataset):
+    """CSV-driven scene list (ref: datasets.py:363-436 'general' layout):
+    a csv with one scene id per line (optional header)."""
+
+    def __init__(self, csv_path: str, features_path: str,
+                 boxes_path: str | None = None, **kwargs):
+        with open(csv_path) as f:
+            lines = [ln.strip().split(",")[0] for ln in f if ln.strip()]
+        if lines and lines[0].lower() in ("scene", "scene_id", "id"):
+            lines = lines[1:]
+        super().__init__(features_path, boxes_path, scene_list=lines, **kwargs)
+
+
+class HypersimRPNDataset(RPNDataset):
+    """Hypersim variant (npy boxes; same on-disk layout)."""
+
+
+class ScanNetRPNDataset(RPNDataset):
+    """ScanNet variant — dense-depth-priors NeRF densities
+    (density_type='ddp_nerf', ref: datasets.py:869-872)."""
+
+    def __init__(self, *args, **kwargs):
+        kwargs.setdefault("density_type", "ddp_nerf")
+        super().__init__(*args, **kwargs)
+
+
 def split_dataset(scenes: Sequence[str], train_ratio: float, val_ratio: float,
                   output_path: str, seed: int = 0):
     """Random train/val/test split -> json (ref: split_hypersim_dataset,

@@ -181,15 +181,43 @@ def render_rays(
     occ: OccupancyGrid | None = None,
     stratified: bool = True,
     with_instance: bool = True,
+    k_occupied: int | None = None,
 ) -> RenderOut:
     """Full render: AABB clip -> stratified samples -> field query ->
     composite. ``model_apply(params, xyz, viewdir)`` must return
-    (sigma_raw, rgb, instance_logits)."""
+    (sigma_raw, rgb, instance_logits).
+
+    ``k_occupied``: fixed-K occupancy compaction — of the ``n_samples``
+    dense candidates, only the first K occupied ones (per ray, depth
+    order preserved) are queried. Exact under the occupancy assumption
+    (σ=0 at skipped samples) with static shapes; cuts the hash-gather
+    and MLP work by n_samples/K.
+    """
     near, far = ray_aabb(origins, dirs)
     valid = far > near
     far = jnp.maximum(far, near + 1e-4)
     xyz, t, dt = sample_points(key, origins, dirs, n_samples, near, far, stratified)
     xyz_c = jnp.clip(xyz, 0.0, 1.0)
+
+    if k_occupied is not None and occ is not None and k_occupied < n_samples:
+        occ_all = occ.occupied(xyz_c)  # (R, S)
+        s = n_samples
+        # occupied samples first, original (depth) order preserved
+        sort_key = jnp.where(occ_all > 0, 0, s) + jax.lax.broadcasted_iota(
+            jnp.int32, occ_all.shape, 1
+        )
+        order = jnp.argsort(sort_key, axis=1)[:, :k_occupied]  # (R, K)
+        keep = jnp.take_along_axis(sort_key, order, axis=1) < s
+        xyz_k = jnp.take_along_axis(xyz_c, order[..., None], axis=1)
+        t_k = jnp.take_along_axis(t, order, axis=1)
+        dt_k = jnp.take_along_axis(dt, order, axis=1)
+        vd = jnp.broadcast_to(dirs[:, None, :], xyz_k.shape)
+        sigma_raw, rgb, logits = model_apply(params, xyz_k, vd)
+        return composite(
+            sigma_raw, rgb, logits if with_instance else None,
+            t_k, dt_k, keep.astype(xyz.dtype), valid.astype(xyz.dtype),
+        )
+
     vd = jnp.broadcast_to(dirs[:, None, :], xyz.shape)
     sigma_raw, rgb, logits = model_apply(params, xyz_c, vd)
     occ_mask = occ.occupied(xyz_c) if occ is not None else None

@@ -79,6 +79,9 @@ class FCOSConfig:
     pre_nms_thresh: float = 0.0
     min_size: float = 0.0
     ap_top_n: int | None = None
+    # resume training from save_path's latest checkpoint (restores
+    # optimizer/schedule/step, ref: run_rcnn.py:499-511)
+    resume: bool = False
     # parallel
     n_spatial: int = 1
     max_gt: int = 64
@@ -177,6 +180,14 @@ class FCOSTrainer:
         steps_per_epoch = max(1, len(train_ds) // cfg.batch_size)
         total_steps = steps_per_epoch * cfg.num_epochs
         self.init_state(total_steps=total_steps)
+        start_epoch = 0
+        if cfg.resume and self.ckpt and self.ckpt.latest_step() is not None:
+            # same config + total_steps -> identical optimizer tree, so a
+            # full templated restore (params + opt + step) is valid
+            self.state, meta = self.ckpt.restore(self.state)
+            start_epoch = min(meta.get("step", 0) // steps_per_epoch,
+                              cfg.num_epochs)
+            log.info("resumed at step %s (epoch %d)", meta.get("step"), start_epoch)
 
         step_fn = make_fcos_train_step(
             self.model,
@@ -189,8 +200,8 @@ class FCOSTrainer:
         )
 
         rng = np.random.default_rng(cfg.seed)
-        gstep = 0
-        for epoch in range(cfg.num_epochs):
+        gstep = start_epoch * steps_per_epoch
+        for epoch in range(start_epoch, cfg.num_epochs):
             order = rng.permutation(len(train_ds))
             t0 = time.time()
             for s in range(steps_per_epoch):

@@ -49,6 +49,9 @@ class NGPConfig:
     # indoor masks are overwhelmingly background; upweight labeled
     # foreground rays so small instances aren't drowned out
     instance_fg_weight: float = 5.0
+    # fixed-K occupancy compaction: of n_samples dense candidates, only
+    # the first K occupied per ray are queried (None = query all)
+    k_occupied: int | None = None
 
 
 class InstanceFieldTrainer:
@@ -92,6 +95,7 @@ class InstanceFieldTrainer:
                     self._apply, p, key, o, d,
                     n_samples=cfg.n_samples, occ=occ,
                     with_instance=stage != "rgb",
+                    k_occupied=cfg.k_occupied,
                 )
                 losses = {}
                 rgb_loss = jnp.mean((out.rgb - target_rgb) ** 2)

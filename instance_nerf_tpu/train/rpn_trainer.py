@@ -78,6 +78,7 @@ class RPNConfig:
     rot_scale_prob: float = 0.0
     max_gt: int = 64
     fpn_strides: tuple = (4, 8, 16, 32)
+    resume: bool = False
     seed: int = 0
 
 
@@ -183,11 +184,17 @@ class RPNTrainer:
         val = self.make_dataset("val") if cfg.dataset_split else None
         steps_per_epoch = max(1, len(ds) // cfg.batch_size)
         self.init_state(total_steps=steps_per_epoch * cfg.num_epochs)
+        start_epoch = 0
+        if cfg.resume and self.ckpt and self.ckpt.latest_step() is not None:
+            self.state, meta = self.ckpt.restore(self.state)
+            start_epoch = min(meta.get("step", 0) // steps_per_epoch,
+                              cfg.num_epochs)
+            log.info("resumed at step %s (epoch %d)", meta.get("step"), start_epoch)
         step_fn = self._make_step()
         rng = np.random.default_rng(cfg.seed)
-        gstep = 0
+        gstep = start_epoch * steps_per_epoch
         pad_shape = (cfg.resolution,) * 3
-        for epoch in range(cfg.num_epochs):
+        for epoch in range(start_epoch, cfg.num_epochs):
             order = rng.permutation(len(ds))
             t0 = time.time()
             for s in range(steps_per_epoch):
