@@ -35,6 +35,8 @@ def build_parser():
     p.add_argument("--downscale", type=int, default=1)
     p.add_argument("--n_rays", type=int, default=4096)
     p.add_argument("--n_samples", type=int, default=128)
+    p.add_argument("--k_occupied", type=int, default=32,
+                   help="fixed-K occupancy compaction (0 = query all samples)")
     p.add_argument("--lr", type=float, default=1e-2)
     p.add_argument("--n_levels", type=int, default=16)
     p.add_argument("--log2_table_size", type=int, default=19)
@@ -61,6 +63,7 @@ def make_trainer(args):
         n_samples=args.n_samples,
         lr=args.lr,
         occ_res=args.occ_res,
+        k_occupied=args.k_occupied or None,
     )
     return InstanceFieldTrainer(cfg, seed=args.seed)
 

@@ -33,13 +33,18 @@ FRONT3D_CLASS_MAP = {cid: i + 1 for i, cid in enumerate(FRONT3D_CLASS_IDS)}
 
 
 def ngp_density_to_alpha(density: np.ndarray) -> np.ndarray:
-    """instant-ngp σ -> alpha (ref: datasets.py:865-866)."""
-    return np.clip(1.0 - np.exp(-np.exp(density) / 100.0), 0.0, 1.0)
+    """instant-ngp σ -> alpha (ref: datasets.py:865-866). Uses the native
+    threaded kernel when built (data/native.py), numpy otherwise."""
+    from instance_nerf_tpu.data import native
+
+    return native.density_to_alpha(density, "ngp")
 
 
 def ddp_nerf_density_to_alpha(density: np.ndarray) -> np.ndarray:
     """dense-depth-priors (ScanNet) σ -> alpha (ref: datasets.py:869-872)."""
-    return np.clip(1.0 - np.exp(-np.clip(density, 0, None) / 100.0), 0.0, 1.0)
+    from instance_nerf_tpu.data import native
+
+    return native.density_to_alpha(density, "ddp_nerf")
 
 
 DENSITY_FNS = {"ngp": ngp_density_to_alpha, "ddp_nerf": ddp_nerf_density_to_alpha}

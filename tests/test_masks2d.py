@@ -1,0 +1,96 @@
+import numpy as np
+
+from instance_nerf_tpu.eval.instance_field_metrics import evaluate_instance_masks
+from instance_nerf_tpu.masks2d.coco_nyu40 import map_category
+from instance_nerf_tpu.masks2d.match_seg import convert_seg, match_view
+from instance_nerf_tpu.masks2d.refine_masks import refine_instance_map
+
+
+def test_map_category():
+    assert map_category("chair", True) == 5
+    assert map_category("wall-wood", False) == 40
+    assert map_category("zebra", True) == 39  # others
+
+
+def test_convert_seg():
+    seg = np.zeros((8, 8), np.int32)
+    seg[0:4, 0:4] = 1  # chair instance
+    seg[4:, 4:] = 2  # wall (background surface)
+    info = [
+        {"id": 1, "category_id": 0, "isthing": True, "category_name": "chair"},
+        {"id": 2, "category_id": 1, "isthing": False, "category_name": "wall-wood"},
+    ]
+    out = convert_seg(seg, info)
+    assert (out[0:4, 0:4] == 1).all()  # instance keeps its id
+    assert (out[4:, 4:] == 0).all()  # background surface -> 0
+    assert (out[0:4, 4:] == -1).all()  # unlabeled panoptic id 0 -> -1
+
+
+def test_match_view_assigns_3d_ids():
+    seg = np.zeros((10, 10), np.int32)
+    seg[1:5, 1:5] = 7  # 2D segment id 7
+    seg[6:9, 6:9] = 8
+    proj = np.zeros((2, 10, 10), bool)
+    proj[0, 1:5, 1:5] = True  # 3D instance 3
+    proj[1, 6:9, 6:9] = True  # 3D instance 5
+    out = match_view(seg, proj, np.asarray([3, 5]), iou_thresh=0.05)
+    assert (out[1:5, 1:5] == 3).all()
+    assert (out[6:9, 6:9] == 5).all()
+
+
+def test_match_view_below_threshold_unlabeled():
+    seg = np.zeros((10, 10), np.int32)
+    seg[0:5, 0:5] = 2
+    proj = np.zeros((1, 10, 10), bool)
+    proj[0, 9:, 9:] = True  # no overlap
+    out = match_view(seg, proj, np.asarray([4]), iou_thresh=0.05)
+    assert (out[0:5, 0:5] == -1).all()
+
+
+def test_match_view_no_projections():
+    seg = np.zeros((6, 6), np.int32)
+    seg[0:3, 0:3] = 2
+    out = match_view(seg, np.zeros((0, 1, 1), bool), np.zeros(0, np.int64))
+    assert (out[0:3, 0:3] == -1).all()
+
+
+def test_evaluate_instance_masks_perfect():
+    gt = np.zeros((12, 12), np.int32)
+    gt[2:6, 2:6] = 1
+    gt[7:11, 7:11] = 2
+    m = evaluate_instance_masks([gt.copy()], [gt])
+    assert m["pq"] == 1.0 and m["miou"] == 1.0 and m["tp"] == 2
+
+
+def test_evaluate_instance_masks_partial():
+    gt = np.zeros((12, 12), np.int32)
+    gt[2:8, 2:8] = 1
+    pred = np.zeros_like(gt)
+    pred[2:8, 2:6] = 1  # 2/3 overlap
+    m = evaluate_instance_masks([pred], [gt], iou_thresh=0.5)
+    assert m["tp"] == 1
+    np.testing.assert_allclose(m["miou"], 24 / 36, atol=1e-6)
+
+
+def test_evaluate_relabelled_ids_still_match():
+    gt = np.zeros((10, 10), np.int32)
+    gt[1:5, 1:5] = 3
+    pred = np.zeros_like(gt)
+    pred[1:5, 1:5] = 9  # different id, same mask
+    m = evaluate_instance_masks([pred], [gt])
+    assert m["tp"] == 1 and m["miou"] == 1.0
+
+
+def test_refine_instance_map_snaps_to_edges():
+    rng = np.random.default_rng(0)
+    img = np.zeros((24, 24, 3), np.float32) + 0.1
+    img[6:18, 6:18] = 0.9  # bright square object
+    img += rng.normal(0, 0.01, img.shape).astype(np.float32)
+    ids = np.zeros((24, 24), np.int32)
+    ids[8:16, 5:17] = 1  # sloppy mask: offset vs the true square
+    out = refine_instance_map(img, ids)
+    gt = np.zeros_like(ids)
+    gt[6:18, 6:18] = 1
+    before = (ids == gt).mean()
+    after = (out == gt).mean()
+    assert after >= before  # refinement moves toward image edges
