@@ -253,6 +253,58 @@ def evaluate_box_proposals_ap(
     }
 
 
+def evaluate_labels(proposals_list, gt_boxes_list, ap_thresholds=(0.25, 0.5)):
+    """Binary objectness labels per proposal at IoU thresholds (legacy
+    classification path; ref: eval.py:166-180)."""
+    out = []
+    for thr in ap_thresholds:
+        per_thr = []
+        for props, gts in zip(proposals_list, gt_boxes_list):
+            props = np.asarray(props)
+            gts = np.asarray(gts)
+            if props.shape[0] == 0:
+                per_thr.append(np.zeros(0, np.int32))
+                continue
+            if gts.shape[0] == 0:
+                per_thr.append(np.zeros(props.shape[0], np.int32))
+                continue
+            best = box_iou_3d_np(props, gts).max(axis=1)
+            per_thr.append((best >= thr).astype(np.int32))
+        out.append(per_thr)
+    return out
+
+
+def evaluate_classification_accuracy(scores_list, gt_label_list, threshold):
+    """Mean per-scene accuracy of thresholded objectness (ref: eval.py:183-200)."""
+    accs = []
+    for scores, labels in zip(scores_list, gt_label_list):
+        pred = (np.asarray(scores) > threshold).astype(np.int32)
+        accs.append((pred == np.asarray(labels)).mean() if pred.size else 0.0)
+    return float(np.mean(accs)) if accs else 0.0
+
+
+def evaluate_classification(scores_list, gt_label_list, threshold):
+    """Precision / accuracy / precision@100 (ref: eval.py:203-226)."""
+    precisions, accs, p100 = [], [], []
+    for scores, labels in zip(scores_list, gt_label_list):
+        scores = np.asarray(scores)
+        labels = np.asarray(labels)
+        if scores.ndim > 1:
+            scores = scores[..., 1]
+        order = np.argsort(-scores)[:100]
+        if order.size:
+            p100.append(labels[order].sum() / order.size)
+        pos = scores > threshold
+        if pos.sum() > 0:
+            precisions.append(labels[pos].sum() / pos.sum())
+        accs.append((labels == pos.astype(labels.dtype)).mean() if labels.size else 0.0)
+    return {
+        "precision": float(np.mean(precisions)) if precisions else 0.0,
+        "accuracy": float(np.mean(accs)) if accs else 0.0,
+        "precision_100": float(np.mean(p100)) if p100 else 0.0,
+    }
+
+
 def evaluate_map_recall(
     pred_boxes_list, pred_scores_list, pred_labels_list,
     gt_boxes_list, gt_labels_list,

@@ -48,6 +48,49 @@ class AABBCoder:
         return jnp.concatenate([pred_ctr - half, pred_ctr + half], axis=-1)
 
 
+class RotatedCoder:
+    """7-param OBB delta coder (legacy two-stage path).
+    Semantics: coder/rotated_coder.py — center deltas in the anchor's
+    rotated frame, log sizes, angle delta normalized by 2π and wrapped
+    into [-π/2, π/2) at decode."""
+
+    def __init__(self, bbox_xform_clip: float = BBOX_XFORM_CLIP):
+        self.bbox_xform_clip = bbox_xform_clip
+
+    def encode(self, gt_rois: jnp.ndarray, ex_rois: jnp.ndarray) -> jnp.ndarray:
+        """(..., 7) gt + (..., 7) anchors -> (..., 7) deltas."""
+        coord = gt_rois[..., 0:3] - ex_rois[..., 0:3]
+        c, s = jnp.cos(ex_rois[..., 6]), jnp.sin(ex_rois[..., 6])
+        ew = jnp.maximum(ex_rois[..., 3], 1e-6)
+        eh = jnp.maximum(ex_rois[..., 4], 1e-6)
+        ed = jnp.maximum(ex_rois[..., 5], 1e-6)
+        dx = (c * coord[..., 0] + s * coord[..., 1]) / ew
+        dy = (-s * coord[..., 0] + c * coord[..., 1]) / eh
+        dz = coord[..., 2] / ed
+        dw = jnp.log(jnp.maximum(gt_rois[..., 3], 1e-6) / ew)
+        dh = jnp.log(jnp.maximum(gt_rois[..., 4], 1e-6) / eh)
+        dd = jnp.log(jnp.maximum(gt_rois[..., 5], 1e-6) / ed)
+        da = (gt_rois[..., 6] - ex_rois[..., 6]) / (2 * jnp.pi)
+        return jnp.stack([dx, dy, dz, dw, dh, dd, da], axis=-1)
+
+    def decode(self, deltas: jnp.ndarray, ex_rois: jnp.ndarray) -> jnp.ndarray:
+        c, s = jnp.cos(ex_rois[..., 6]), jnp.sin(ex_rois[..., 6])
+        dw = jnp.minimum(deltas[..., 3], self.bbox_xform_clip)
+        dh = jnp.minimum(deltas[..., 4], self.bbox_xform_clip)
+        dd = jnp.minimum(deltas[..., 5], self.bbox_xform_clip)
+        w, h, d = ex_rois[..., 3], ex_rois[..., 4], ex_rois[..., 5]
+        px = deltas[..., 0] * w * c - deltas[..., 1] * h * s + ex_rois[..., 0]
+        py = deltas[..., 0] * w * s + deltas[..., 1] * h * c + ex_rois[..., 1]
+        pz = deltas[..., 2] * d + ex_rois[..., 2]
+        pw = jnp.exp(dw) * w
+        ph = jnp.exp(dh) * h
+        pd = jnp.exp(dd) * d
+        pa = (2 * jnp.pi) * deltas[..., 6] + ex_rois[..., 6]
+        pa = pa % jnp.pi
+        pa = jnp.where(pa > jnp.pi / 2, pa - jnp.pi, pa)
+        return jnp.stack([px, py, pz, pw, ph, pd, pa], axis=-1)
+
+
 class MidpointOffsetCoder:
     """8-param OBB deltas (dx,dy,dz,dw,dh,dd,da,db) against AABB anchors.
     Ref: midpoint_offset_coder.py (bbox2delta_sp / delta_sp2bbox).

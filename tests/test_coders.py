@@ -63,3 +63,37 @@ def test_midpoint_offset_axis_aligned_gt():
     assert np.isfinite(np.asarray(deltas)).all()
     dec = np.asarray(coder.decode(deltas, anchor))[0]
     np.testing.assert_allclose(dec[:6], [10, 10, 10, 8, 4, 6], atol=0.05)
+
+
+def test_rotated_coder_roundtrip():
+    from instance_nerf_tpu.ops.coders import RotatedCoder
+
+    rng = np.random.default_rng(5)
+    coder = RotatedCoder()
+    anchors = jnp.asarray(
+        np.concatenate(
+            [
+                rng.uniform(10, 50, (8, 3)),
+                rng.uniform(4, 10, (8, 3)),
+                rng.uniform(-0.6, 0.6, (8, 1)),
+            ],
+            axis=1,
+        ),
+        jnp.float32,
+    )
+    gts = jnp.asarray(
+        np.concatenate(
+            [
+                rng.uniform(10, 50, (8, 3)),
+                rng.uniform(4, 10, (8, 3)),
+                rng.uniform(-0.6, 0.6, (8, 1)),
+            ],
+            axis=1,
+        ),
+        jnp.float32,
+    )
+    deltas = coder.encode(gts, anchors)
+    dec = np.asarray(coder.decode(deltas, anchors))
+    np.testing.assert_allclose(dec[:, :6], np.asarray(gts)[:, :6], rtol=1e-4, atol=1e-3)
+    # angle wrapped into [-pi/2, pi/2)
+    np.testing.assert_allclose(dec[:, 6], np.asarray(gts)[:, 6], atol=1e-4)

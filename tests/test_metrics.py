@@ -120,3 +120,15 @@ def test_mask_iou_3d_np():
     a[1, 2:] = True
     iou = M.mask_iou_3d_np(a, a)
     np.testing.assert_allclose(iou, np.eye(2))
+
+
+def test_evaluate_labels_and_classification():
+    props = [np.array([[0, 0, 0, 10, 10, 10], [50, 50, 50, 60, 60, 60.0]])]
+    gts = [np.array([[0, 0, 0, 10, 10, 10.0]])]
+    labels = M.evaluate_labels(props, gts, ap_thresholds=(0.5,))
+    assert labels[0][0].tolist() == [1, 0]
+    scores = [np.array([0.9, 0.8])]
+    acc = M.evaluate_classification_accuracy(scores, labels[0], threshold=0.85)
+    np.testing.assert_allclose(acc, 1.0)
+    res = M.evaluate_classification(scores, labels[0], threshold=0.85)
+    np.testing.assert_allclose(res["precision"], 1.0)
