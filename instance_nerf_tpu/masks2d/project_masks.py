@@ -34,6 +34,8 @@ def project_voxel_masks(
     h, w = hw
     o_all, d_all = camera_rays(pose, intrinsics, hw)
     res = jnp.asarray(inst_grid.shape, jnp.float32)
+    # static on host: jnp.max inside jit would be a tracer
+    num_ids = int(jnp.max(inst_grid)) + 1
 
     @jax.jit
     def render_chunk(o, d):
@@ -53,7 +55,6 @@ def project_voxel_masks(
         trans = jnp.concatenate([jnp.ones_like(trans[:, :1]), trans[:, :-1]], -1)
         wgt = a * trans * valid[:, None]
         # per-instance accumulated weight via segment-sum over ids
-        num_ids = int(jnp.max(inst_grid)) + 1
         onehot = jax.nn.one_hot(inst, num_ids, dtype=wgt.dtype)
         acc = jnp.einsum("rs,rsk->rk", wgt, onehot)  # (R, K)
         acc = acc.at[:, 0].set(0.0)  # id 0 = no instance

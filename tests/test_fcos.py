@@ -147,3 +147,52 @@ def test_fcos_over_nerf_end_to_end():
     assert reg.shape == (1, r, 6)
     assert ctr.shape == (1, r)
     assert len(feats) == 4
+
+
+def test_fcos_loss_obb_path():
+    info = make_info(32)
+    r = info.locations.shape[0]
+    rng = np.random.default_rng(7)
+    logits = jnp.asarray(rng.normal(size=(1, r)), jnp.float32)
+    reg = jnp.asarray(rng.normal(size=(1, r, 8)) * 0.1, jnp.float32)
+    reg = reg.at[..., :6].set(jnp.abs(reg[..., :6]))
+    ctr = jnp.asarray(rng.normal(size=(1, r)), jnp.float32)
+    gt = jnp.asarray([[[14.0, 14, 12, 12, 8, 10, 0.3]]], jnp.float32)
+    mask = jnp.ones((1, 1), bool)
+    losses = F.fcos_loss(
+        info, logits, reg, ctr, gt, mask, use_obb=True,
+        iou_loss_type="giou", use_additional_l1_loss=True,
+    )
+    for k in ("loss_cls", "loss_reg", "loss_centerness"):
+        assert np.isfinite(float(losses[k])), (k, losses)
+    assert float(losses["num_pos"]) > 0
+
+    # gradients through the rotated path stay finite
+    def lf(reg):
+        l = F.fcos_loss(info, logits, reg, ctr, gt, mask, use_obb=True,
+                        iou_loss_type="giou")
+        return l["loss_reg"]
+
+    g = jax.grad(lf)(reg)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_fcos_postprocess_obb():
+    info = make_info(32)
+    r = info.locations.shape[0]
+    gt_obb = jnp.asarray([14.0, 14, 12, 12, 8, 10, 0.3])
+    labels, reg_t = F.fcos_targets_obb(
+        info, gt_obb[None], jnp.ones(1, bool), norm_reg_targets=False
+    )
+    logits = jnp.where(labels > 0, 8.0, -8.0)[None]
+    ctr = jnp.full((1, r), 8.0)
+    props = F.fcos_postprocess(
+        info, logits, reg_t[None], ctr, jnp.asarray([[32.0, 32, 32]]),
+        num_levels=4, pre_nms_top_n=64, fpn_post_nms_top_n=8,
+        nms_thresh=0.3, use_obb=True,
+    )
+    assert bool(props.valid[0, 0])
+    box = np.asarray(props.boxes[0, 0])
+    assert box.shape == (7,)
+    np.testing.assert_allclose(box[:3], [14, 14, 12], atol=0.6)
+    np.testing.assert_allclose(box[5], 10.0, atol=0.5)
