@@ -1,18 +1,17 @@
 """Benchmark entry — prints ONE JSON line for the driver.
 
-Round-1 benchmark: FCOS-RPN (vgg_EF, the shipped config) inference
-latency on a dummy 160^3 RGBσ grid — the reference's own benchmark
-harness configuration (``nerf_rcnn/run_fcos.py:551-575``: 300-rep
-CUDA-event timing on a dummy 4x160^3 input). The reference repo
-publishes no number for it (BASELINE.md), so ``vs_baseline`` is computed
-against an estimated 30 ms for the same forward on an A100 (~3.5 TFLOP
-forward at ~40% bf16 MFU) — documented estimate, not a measurement.
+Headline: full NeRF-RCNN inference — backbone + box head + per-class NMS
++ mask head + full-grid mask paste — on the reference's own benchmark
+shape (dummy 200x200x130-ish grid, ``nerf_rcnn/run_rcnn.py:729-752``;
+BASELINE.json config #2). The reference publishes no number;
+``vs_baseline`` is measured-ms vs an estimated 200 ms for the same
+end-to-end path on an A100 (backbone ~40 ms + CUDA RoIAlign/NMS/paste
+chain) — a documented estimate, not a measurement.
 
-Timing methodology (axon tunnel): ``block_until_ready`` does NOT
-synchronize through the remote PJRT tunnel, so each iteration is chained
-on the previous one's scalar output and the final scalar is fetched to
-host; the per-dispatch tunnel overhead (measured with a trivial chained
-op) is subtracted.
+Timing: chained-dependency dispatch with a final host readback
+(``block_until_ready`` does not synchronize through the axon tunnel),
+minus measured per-dispatch overhead. See BENCH_NOTES.md for the full
+measurement table (FCOS latency, train steps, rays/s, op rates).
 """
 from __future__ import annotations
 
@@ -21,12 +20,10 @@ import time
 
 import numpy as np
 
-A100_ESTIMATE_MS = 30.0
+A100_ESTIMATE_MS = 200.0
 
 
 def chained_time_ms(fn, reps: int, warmup: int = 2) -> float:
-    """Per-iteration latency of ``fn(carry) -> carry`` with serialized
-    dispatches and one final host fetch."""
     c = np.float32(0)
     for _ in range(warmup):
         c = fn(c)
@@ -44,36 +41,57 @@ def main():
     import jax.numpy as jnp
 
     from instance_nerf_tpu.models.backbones import VGG_FPN
-    from instance_nerf_tpu.models.fcos import FCOSOverNeRF
+    from instance_nerf_tpu.models.rcnn import (
+        NeRF_RCNN,
+        maskrcnn_inference,
+        postprocess_detections,
+    )
+    from instance_nerf_tpu.ops.mask_paste import paste_masks_in_image
 
-    model = FCOSOverNeRF(
+    w, l, h = 200, 200, 132
+    p = 20  # inference.sh uses the top-20 input rois per scene
+    model = NeRF_RCNN(
         backbone=VGG_FPN(cfg="EF", input_size=160, dtype=jnp.bfloat16),
-        dtype=jnp.bfloat16,
+        num_classes=11, input_shape=(w, l, h), dtype=jnp.bfloat16,
     )
     rng = np.random.default_rng(0)
-    grid = jnp.asarray(rng.uniform(0, 1, (1, 160, 160, 160, 4)), jnp.float32)
-    params = model.init(jax.random.key(0), grid)
+    grid = jnp.asarray(rng.uniform(0, 1, (1, w, l, h, 4)), jnp.float32)
+    lo = rng.uniform(0, 100, (p, 3))
+    hi = lo + rng.uniform(20, 60, (p, 3))
+    rois = jnp.asarray(
+        np.concatenate([lo, np.minimum(hi, [w, l, h])], 1), jnp.float32
+    )[None]
+    params = model.init(
+        jax.random.key(0), grid[:, :32, :32, :32], rois[:, :2], with_masks=True
+    )
 
-    # NOTE: grid/params must be *arguments*, not closure constants — the
-    # axon remote-compile path serializes captured constants into the
-    # compile request (a 64 MB grid trips its size limit).
     @jax.jit
-    def fwd(p, g, c):
-        info, logits, reg, ctr, _ = model.apply(p, g + c, train=False)
-        return (jnp.sum(logits[:, :1]) * 0).astype(jnp.float32)
+    def infer(prm, g, r, c):
+        feats, logits, deltas = model.apply(prm, g + c, r)
+        det = postprocess_detections(
+            logits, deltas, r, jnp.ones((1, p), bool),
+            jnp.asarray([[float(w), float(l), float(h)]]),
+            nms_thresh=0.15, detections_per_img=25,
+        )
+        mlog = model.apply(prm, feats, det.boxes, method=NeRF_RCNN.mask_forward)
+        probs = maskrcnn_inference(mlog[0], det.labels[0])
+        masks = paste_masks_in_image(probs, det.boxes[0], (w, l, h))
+        return (
+            jnp.sum(det.scores) + jnp.sum(masks[:1, :1, :1, :1]).astype(jnp.float32)
+        ) * 0
 
     @jax.jit
     def trivial(c):
         return c + 1.0 - 1.0
 
     overhead = chained_time_ms(trivial, reps=50)
-    total = chained_time_ms(lambda c: fwd(params, grid, c), reps=20)
+    total = chained_time_ms(lambda c: infer(params, grid, rois, c), reps=15)
     mean_ms = max(total - overhead, 1e-3)
 
     print(
         json.dumps(
             {
-                "metric": "fcos_rpn_infer_160^3_latency",
+                "metric": "nerf_rcnn_full_inference_200x200x132",
                 "value": round(mean_ms, 3),
                 "unit": "ms",
                 "vs_baseline": round(A100_ESTIMATE_MS / mean_ms, 3),

@@ -1,1 +1,11 @@
-from instance_nerf_tpu.ops import boxes, coders, nms, rotated_iou, sampling  # noqa: F401
+from instance_nerf_tpu.ops import (  # noqa: F401
+    boxes,
+    coders,
+    mask_paste,
+    nms,
+    poolers,
+    projection,
+    roi_align,
+    rotated_iou,
+    sampling,
+)

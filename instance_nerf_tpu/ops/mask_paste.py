@@ -46,14 +46,18 @@ def _paste_single(mask: jnp.ndarray, box: jnp.ndarray, grid_shape) -> jnp.ndarra
     y0, y1, wy0, wy1 = corner(v, m1)
     z0, z1, wz0, wz1 = corner(t, m2)
 
+    # axis-separable gathers: three cheap per-axis takes per corner
+    # instead of one (W*L*H)-row fancy-index gather — the full-grid
+    # gather dominated RCNN inference (13.6 s/scene before this).
     out = 0.0
     for ix, wx in ((x0, wx0), (x1, wx1)):
+        mx_ = jnp.take(mask, ix, axis=0)  # (W, m1, m2)
         for iy, wy in ((y0, wy0), (y1, wy1)):
+            mxy = jnp.take(mx_, iy, axis=1)  # (W, L, m2)
+            wxy = wx[:, None, None] * wy[None, :, None]
             for iz, wz in ((z0, wz0), (z1, wz1)):
-                vals = mask[ix[:, None, None], iy[None, :, None], iz[None, None, :]]
-                out = out + vals * (
-                    wx[:, None, None] * wy[None, :, None] * wz[None, None, :]
-                )
+                vals = jnp.take(mxy, iz, axis=2)  # (W, L, H)
+                out = out + vals * (wxy * wz[None, None, :])
     return out
 
 

@@ -252,6 +252,8 @@ class FCOSTrainer:
         pw, pl, ph = pad_up(w), pad_up(l), pad_up(h)
         padded = np.zeros((1, pw, pl, ph, grid.shape[-1]), np.float32)
         padded[0, :w, :l, :h] = grid
+        from instance_nerf_tpu.models.fcos import padding_mask
+
         info, logits, reg, ctr, _ = self.model.apply(
             self.state.params, jnp.asarray(padded), train=False
         )
@@ -264,7 +266,7 @@ class FCOSTrainer:
             nms_thresh=cfg.nms_thresh,
             fpn_post_nms_top_n=cfg.fpn_post_nms_top_n,
             min_size=cfg.min_size,
-            pad_mask=F_pad_mask(info, (w, l, h)),
+            pad_mask=padding_mask(info, jnp.asarray([[w, l, h]], jnp.float32)),
             use_obb=cfg.rotated_bbox,
         )
         valid = np.asarray(props.valid[0])
@@ -334,7 +336,3 @@ class FCOSTrainer:
         return {"mean_ms": float(times.mean()), "std_ms": float(times.std())}
 
 
-def F_pad_mask(info, size):
-    from instance_nerf_tpu.models.fcos import padding_mask
-
-    return padding_mask(info, jnp.asarray([list(size)], jnp.float32))
