@@ -56,6 +56,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min_size", type=float, default=0.0)
     p.add_argument("--ap_top_n", type=int, default=None)
     p.add_argument("--save_results", action="store_true")
+    p.add_argument("--output_voxel_scores", action="store_true")
     p.add_argument("--n_spatial", type=int, default=1,
                    help="spatial (sp) mesh axis size; data axis uses the rest")
     p.add_argument("--max_gt", type=int, default=64)
@@ -94,7 +95,8 @@ def main(argv=None):
         trainer.init_state()
         ds = trainer.make_dataset("test" if args.dataset_split else "val")
         metrics = trainer.eval(
-            ds, save_results_path=args.save_path if args.save_results else None
+            ds, save_results_path=args.save_path if (args.save_results or args.output_voxel_scores) else None,
+            output_voxel_scores=args.output_voxel_scores
         )
         print(json.dumps(metrics, indent=2))
         if args.save_path:

@@ -276,11 +276,41 @@ class FCOSTrainer:
             np.asarray(props.level_ids[0])[valid],
         )
 
-    def eval(self, dataset: RPNDataset, save_results_path: str | None = None):
+    def dump_voxel_scores(self, grid: np.ndarray, out_path: str):
+        """Per-voxel sqrt(cls*centerness) per level, cropped to the grid
+        (ref: fcos.py:267-279 output_objectness)."""
+        cfg = self.cfg
+        w, l, h = grid.shape[:3]
+        pad = lambda v: max(32, int(np.ceil(v / 32)) * 32)
+        padded = np.zeros((1, pad(w), pad(l), pad(h), grid.shape[-1]), np.float32)
+        padded[0, :w, :l, :h] = grid
+        info, logits, reg, ctr, feats = self.model.apply(
+            self.state.params, jnp.asarray(padded), train=False
+        )
+        score = np.asarray(
+            jnp.sqrt(jnp.clip(jax.nn.sigmoid(logits) * jax.nn.sigmoid(ctr), 0, 1))
+        )[0]
+        out, offset = {}, 0
+        for lvl, f in enumerate(feats):
+            wl, ll, hl = f.shape[1:4]
+            n = wl * ll * hl
+            s = score[offset : offset + n].reshape(wl, ll, hl)
+            stride = cfg.fpn_strides[lvl]
+            lim = [int(np.ceil(d / stride)) for d in (w, l, h)]
+            out[str(lvl)] = s[: lim[0], : lim[1], : lim[2]]
+            offset += n
+        np.savez_compressed(out_path, **out)
+
+    def eval(self, dataset: RPNDataset, save_results_path: str | None = None,
+             output_voxel_scores: bool = False):
         proposals, scores, gts = [], [], []
         for i in range(len(dataset)):
             scene, grid, boxes = dataset.get(i)
             b, s, lvl = self.predict_scene(grid)
+            if output_voxel_scores and save_results_path:
+                vs_dir = os.path.join(save_results_path, "voxel_scores")
+                os.makedirs(vs_dir, exist_ok=True)
+                self.dump_voxel_scores(grid, os.path.join(vs_dir, scene + ".npz"))
             proposals.append(b)
             scores.append(s)
             gts.append(boxes if boxes is not None else np.zeros((0, 6)))
