@@ -57,6 +57,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ap_top_n", type=int, default=None)
     p.add_argument("--save_results", action="store_true")
     p.add_argument("--output_voxel_scores", action="store_true")
+    p.add_argument("--filter", choices=["none", "tp", "fp"], default="none")
+    p.add_argument("--filter_threshold", type=float, default=0.7)
     p.add_argument("--n_spatial", type=int, default=1,
                    help="spatial (sp) mesh axis size; data axis uses the rest")
     p.add_argument("--max_gt", type=int, default=64)
@@ -96,7 +98,8 @@ def main(argv=None):
         ds = trainer.make_dataset("test" if args.dataset_split else "val")
         metrics = trainer.eval(
             ds, save_results_path=args.save_path if (args.save_results or args.output_voxel_scores) else None,
-            output_voxel_scores=args.output_voxel_scores
+            output_voxel_scores=args.output_voxel_scores,
+            filter_mode=args.filter, filter_threshold=args.filter_threshold
         )
         print(json.dumps(metrics, indent=2))
         if args.save_path:

@@ -302,7 +302,10 @@ class FCOSTrainer:
         np.savez_compressed(out_path, **out)
 
     def eval(self, dataset: RPNDataset, save_results_path: str | None = None,
-             output_voxel_scores: bool = False):
+             output_voxel_scores: bool = False,
+             filter_mode: str = "none", filter_threshold: float = 0.7):
+        from instance_nerf_tpu.eval.metrics import box_iou_3d_np
+
         proposals, scores, gts = [], [], []
         for i in range(len(dataset)):
             scene, grid, boxes = dataset.get(i)
@@ -311,6 +314,15 @@ class FCOSTrainer:
                 vs_dir = os.path.join(save_results_path, "voxel_scores")
                 os.makedirs(vs_dir, exist_ok=True)
                 self.dump_voxel_scores(grid, os.path.join(vs_dir, scene + ".npz"))
+            # TP/FP-filtered proposal export (ref: run_fcos.py:59-66,
+            # run_rpn.py:432-453)
+            out_b, out_s, out_l = b, s, lvl
+            if filter_mode != "none" and boxes is not None and boxes.shape[0]:
+                iou = (box_iou_3d_np(out_b[:, :6], boxes).max(axis=1)
+                       if out_b.size else np.zeros(0))
+                keep = (iou >= filter_threshold if filter_mode == "tp"
+                        else iou < filter_threshold)
+                out_b, out_s, out_l = out_b[keep], out_s[keep], out_l[keep]
             proposals.append(b)
             scores.append(s)
             gts.append(boxes if boxes is not None else np.zeros((0, 6)))
@@ -318,7 +330,7 @@ class FCOSTrainer:
                 os.makedirs(os.path.join(save_results_path, "proposals"), exist_ok=True)
                 np.savez(
                     os.path.join(save_results_path, "proposals", scene + ".npz"),
-                    proposals=b, scores=s, level_indices=lvl,
+                    proposals=out_b, scores=out_s, level_indices=out_l,
                 )
 
         out = {}
