@@ -136,3 +136,26 @@ def test_augment_pipeline_runs():
         rng, grid, boxes, flip_prob=1.0, rotate_prob=1.0
     )
     assert g.shape == grid.shape and b.shape == boxes.shape
+
+
+def test_rpn_export_bridge_feeds_rcnn_dataset(dataset_dir, tmp_path):
+    """run_rpn --save_results writes rois npz that SegmentationDataset
+    consumes directly (the RPN->RCNN bridge, run_rpn.py:485-505)."""
+    import shutil
+
+    root = str(tmp_path / "bridged")
+    shutil.copytree(dataset_dir, root)
+    # simulate the exporter: overwrite rois/ with RPN-style output keys
+    rois_dir = os.path.join(root, "rois")
+    for f in os.listdir(rois_dir):
+        scene = f[:-4]
+        np.savez(
+            os.path.join(rois_dir, f),
+            proposals=np.array([[2, 2, 2, 20, 20, 18]], np.float32),
+            level_indices=np.array([1], np.int64),
+            scores=np.array([0.9], np.float32),  # extra key must be ignored
+        )
+    ds = SegmentationDataset("train", root)
+    d = ds.load_scene(0)
+    np.testing.assert_allclose(d["rois"], [[2, 2, 2, 20, 20, 18]])
+    assert d["level_indices"].tolist() == [1]
