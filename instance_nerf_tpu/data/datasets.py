@@ -62,7 +62,11 @@ def load_feature_grid(
     grids and flat ``(H*L*W, C)`` + resolution (ref: datasets.py:768-793).
     """
     with np.load(path) as f:
-        rgbsigma = f["rgbsigma"].astype(np.float32, copy=True)
+        raw = f["rgbsigma"]
+        is_u8 = raw.dtype == np.uint8
+        rgbsigma = raw.astype(np.float32, copy=True)
+        if is_u8:  # uint8 storage keeps rgb (and σ) in 0-255 — rescale
+            rgbsigma /= 255.0  # before alpha (ref: datasets.py:788-791)
         res = f["resolution"] if "resolution" in f else None
         if rgbsigma.ndim == 2:
             rgbsigma = rgbsigma.reshape(res[2], res[1], res[0], -1)
@@ -72,8 +76,6 @@ def load_feature_grid(
                 rgbsigma = np.transpose(rgbsigma, (2, 1, 0, 3))
         if normalize_density:
             rgbsigma[..., -1] = DENSITY_FNS[density_type](rgbsigma[..., -1])
-        if rgbsigma.dtype == np.uint8:
-            rgbsigma = rgbsigma.astype(np.float32) / 255.0
     return rgbsigma
 
 

@@ -23,6 +23,14 @@ _NATIVE_DIR = os.path.join(
 )
 _SRC = os.path.join(_NATIVE_DIR, "voxel_ops.cpp")
 _SO = os.path.join(_NATIVE_DIR, "libvoxel_ops.so")
+_STAMP = _SO + ".srchash"
+
+
+def _src_hash() -> str:
+    import hashlib
+
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
 
 
 def _load():
@@ -32,15 +40,23 @@ def _load():
             return _LIB
         _TRIED = True
         try:
-            if (not os.path.isfile(_SO)) or (
-                os.path.getmtime(_SO) < os.path.getmtime(_SRC)
-            ):
+            # rebuild whenever the source hash differs from the stamp —
+            # mtimes are unreliable after a fresh checkout, and the .so is
+            # never committed (built artifacts are .gitignored)
+            h = _src_hash()
+            stamped = None
+            if os.path.isfile(_STAMP):
+                with open(_STAMP) as f:
+                    stamped = f.read().strip()
+            if (not os.path.isfile(_SO)) or stamped != h:
                 subprocess.run(
                     ["g++", "-O3", "-march=native", "-ffast-math",
                      "-funroll-loops", "-shared", "-fPIC",
                      "-o", _SO, _SRC, "-lpthread", "-lm"],
                     check=True, capture_output=True,
                 )
+                with open(_STAMP, "w") as f:
+                    f.write(h)
             lib = ctypes.CDLL(_SO)
             f32p = ctypes.POINTER(ctypes.c_float)
             u8p = ctypes.POINTER(ctypes.c_uint8)

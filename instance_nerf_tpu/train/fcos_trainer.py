@@ -241,9 +241,36 @@ class FCOSTrainer:
 
     # -- eval ---------------------------------------------------------------
 
+    def _predict_jit(self):
+        """Jitted forward+postprocess, cached per padded shape by jax.jit —
+        the default axon platform runs unjitted apply op-by-op through the
+        tunnel (minutes per scene)."""
+        if getattr(self, "_predict_fn", None) is None:
+            cfg = self.cfg
+            from instance_nerf_tpu.models.fcos import padding_mask
+
+            @jax.jit
+            def f(params, padded, sizes):
+                info, logits, reg, ctr, _ = self.model.apply(
+                    params, padded, train=False
+                )
+                return fcos_postprocess(
+                    info, logits, reg, ctr, sizes,
+                    num_levels=len(cfg.fpn_strides),
+                    pre_nms_thresh=cfg.pre_nms_thresh,
+                    pre_nms_top_n=cfg.pre_nms_top_n,
+                    nms_thresh=cfg.nms_thresh,
+                    fpn_post_nms_top_n=cfg.fpn_post_nms_top_n,
+                    min_size=cfg.min_size,
+                    pad_mask=padding_mask(info, sizes),
+                    use_obb=cfg.rotated_bbox,
+                )
+
+            self._predict_fn = f
+        return self._predict_fn
+
     def predict_scene(self, grid: np.ndarray):
         """Proposals for one scene grid (W, L, H, 4)."""
-        cfg = self.cfg
         w, l, h = grid.shape[:3]
 
         def pad_up(v):
@@ -252,22 +279,9 @@ class FCOSTrainer:
         pw, pl, ph = pad_up(w), pad_up(l), pad_up(h)
         padded = np.zeros((1, pw, pl, ph, grid.shape[-1]), np.float32)
         padded[0, :w, :l, :h] = grid
-        from instance_nerf_tpu.models.fcos import padding_mask
-
-        info, logits, reg, ctr, _ = self.model.apply(
-            self.state.params, jnp.asarray(padded), train=False
-        )
-        props = fcos_postprocess(
-            info, logits, reg, ctr,
+        props = self._predict_jit()(
+            self.state.params, jnp.asarray(padded),
             jnp.asarray([[w, l, h]], jnp.float32),
-            num_levels=len(cfg.fpn_strides),
-            pre_nms_thresh=cfg.pre_nms_thresh,
-            pre_nms_top_n=cfg.pre_nms_top_n,
-            nms_thresh=cfg.nms_thresh,
-            fpn_post_nms_top_n=cfg.fpn_post_nms_top_n,
-            min_size=cfg.min_size,
-            pad_mask=padding_mask(info, jnp.asarray([[w, l, h]], jnp.float32)),
-            use_obb=cfg.rotated_bbox,
         )
         valid = np.asarray(props.valid[0])
         return (
@@ -284,19 +298,26 @@ class FCOSTrainer:
         pad = lambda v: max(32, int(np.ceil(v / 32)) * 32)
         padded = np.zeros((1, pad(w), pad(l), pad(h), grid.shape[-1]), np.float32)
         padded[0, :w, :l, :h] = grid
-        info, logits, reg, ctr, feats = self.model.apply(
-            self.state.params, jnp.asarray(padded), train=False
-        )
-        score = np.asarray(
-            jnp.sqrt(jnp.clip(jax.nn.sigmoid(logits) * jax.nn.sigmoid(ctr), 0, 1))
-        )[0]
+        if getattr(self, "_voxel_fn", None) is None:
+
+            @jax.jit
+            def voxel_fn(params, g):
+                info, logits, reg, ctr, feats = self.model.apply(
+                    params, g, train=False
+                )
+                del info, reg, feats
+                return jnp.sqrt(
+                    jnp.clip(jax.nn.sigmoid(logits) * jax.nn.sigmoid(ctr), 0, 1)
+                )
+
+            self._voxel_fn = voxel_fn
+        score = np.asarray(self._voxel_fn(self.state.params, jnp.asarray(padded)))[0]
         out, offset = {}, 0
-        for lvl, f in enumerate(feats):
-            wl, ll, hl = f.shape[1:4]
+        for lvl, stride_l in enumerate(cfg.fpn_strides):
+            wl, ll, hl = (padded.shape[1 + a] // stride_l for a in range(3))
             n = wl * ll * hl
             s = score[offset : offset + n].reshape(wl, ll, hl)
-            stride = cfg.fpn_strides[lvl]
-            lim = [int(np.ceil(d / stride)) for d in (w, l, h)]
+            lim = [int(np.ceil(d / stride_l)) for d in (w, l, h)]
             out[str(lvl)] = s[: lim[0], : lim[1], : lim[2]]
             offset += n
         np.savez_compressed(out_path, **out)
@@ -363,18 +384,18 @@ class FCOSTrainer:
             self.init_state()
         grid = np.random.default_rng(0).uniform(0, 1, (*shape, 4)).astype(np.float32)
 
-        fwd = jax.jit(
-            lambda p, g: self.model.apply(p, g, train=False)[1:4]
-        )
+        from instance_nerf_tpu.utils.profiling import chained_latency_ms
+
+        @jax.jit
+        def fwd(c, p, g):
+            _, logits, reg, ctr, _ = self.model.apply(p, g + c * 0, train=False)
+            probe = (jnp.sum(logits) + jnp.sum(reg) + jnp.sum(ctr))
+            return c + probe.astype(jnp.float32) * 0 + 1
+
         g = jnp.asarray(grid)[None]
-        out = fwd(self.state.params, g)
-        jax.block_until_ready(out)  # warmup + compile
-        times = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            jax.block_until_ready(fwd(self.state.params, g))
-            times.append((time.perf_counter() - t0) * 1000)
-        times = np.asarray(times)
-        return {"mean_ms": float(times.mean()), "std_ms": float(times.std())}
+        mean = chained_latency_ms(
+            fwd, (self.state.params, g), reps=min(reps, 50)
+        )
+        return {"mean_ms": float(mean), "std_ms": 0.0}
 
 

@@ -10,7 +10,6 @@ README.md:44).
 """
 from __future__ import annotations
 
-import functools
 import time
 from dataclasses import dataclass
 
@@ -77,6 +76,16 @@ class InstanceFieldTrainer:
         self.opt_state = self.tx.init(self.params)
         self.occ = init_occupancy(cfg.occ_res, cfg.occ_threshold)
         self._step_fns = {}
+        self._render_fns = {}
+        # jitted ONCE with params/xyz as arguments — a per-update
+        # jax.jit(closure) would bake the ~64 MB hash table in as a
+        # compile-time constant (retrace every occ update, and the axon
+        # remote compiler rejects large captured constants)
+        self._sigma_jit = jax.jit(self._sigma_query)
+
+    def _sigma_query(self, params, xyz):
+        sigma_raw, _ = self.model.apply(params, xyz, method=InstanceNGP.query)
+        return density_activation(sigma_raw)
 
     # -- jitted pieces -------------------------------------------------------
 
@@ -127,15 +136,6 @@ class InstanceFieldTrainer:
             self._step_fns[stage] = self._make_step(stage)
         return self._step_fns[stage]
 
-    def _sigma_fn(self, params):
-        def f(xyz):
-            sigma_raw, _ = self.model.apply(
-                params, xyz, method=InstanceNGP.query
-            )
-            return density_activation(sigma_raw)
-
-        return f
-
     # -- training ------------------------------------------------------------
 
     def train(self, scene: NeRFScene, steps: int, stage: str = "rgb",
@@ -160,7 +160,7 @@ class InstanceFieldTrainer:
             if (i + 1) % cfg.occ_update_every == 0 and stage != "instance":
                 self.key, ok = jax.random.split(self.key)
                 self.occ = update_occupancy(
-                    self.occ, jax.jit(self._sigma_fn(self.params)), ok
+                    self.occ, lambda x: self._sigma_jit(self.params, x), ok
                 )
             if (i + 1) % log_every == 0:
                 m = {k: float(val) for k, val in last.items()}
@@ -187,17 +187,32 @@ class InstanceFieldTrainer:
 
     # -- inference -----------------------------------------------------------
 
+    def _render_fn(self, with_instance: bool):
+        """Jitted render with params + occupancy grid as ARGUMENTS (jitted
+        once per with_instance flag), not closure constants."""
+        if with_instance not in self._render_fns:
+            cfg = self.cfg
+
+            @jax.jit
+            def render(params, occ_grid, key, o, d):
+                return render_rays(
+                    self._apply, params, key, o, d,
+                    n_samples=cfg.n_samples,
+                    occ=OccupancyGrid(occ_grid, cfg.occ_threshold),
+                    stratified=False, with_instance=with_instance,
+                )
+
+            self._render_fns[with_instance] = render
+        return self._render_fns[with_instance]
+
     def render_image(self, pose, intrinsics, hw, chunk: int = 8192,
                      with_instance: bool = True):
         """Full-image render -> dict(rgb (H,W,3), depth, acc, instance (H,W))."""
         h, w = hw
         o, d = camera_rays(jnp.asarray(pose), intrinsics, hw)
         outs = {"rgb": [], "depth": [], "acc": [], "inst": []}
-        render = jax.jit(functools.partial(
-            render_rays, self._apply,
-            n_samples=self.cfg.n_samples, occ=self.occ,
-            stratified=False, with_instance=with_instance,
-        ), static_argnames=())
+        render_jit = self._render_fn(with_instance)
+        render = lambda p, k, os_, ds_: render_jit(p, self.occ.grid, k, os_, ds_)
         for s in range(0, h * w, chunk):
             sl = slice(s, min(s + chunk, h * w))
             # pad the final chunk to the static size

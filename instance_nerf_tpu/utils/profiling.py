@@ -22,6 +22,44 @@ def trace(logdir: str):
         jax.profiler.stop_trace()
 
 
+def _chain_time_ms(f, args, reps: int, warmup: int) -> float:
+    import jax.numpy as jnp
+
+    c = jnp.float32(0.0)
+    for _ in range(warmup):
+        c = f(c, *args)
+    float(c)
+    t0 = time.perf_counter()
+    c = jnp.float32(0.0)
+    for _ in range(reps):
+        c = f(c, *args)
+    float(c)
+    return (time.perf_counter() - t0) / reps * 1000.0
+
+
+def dispatch_overhead_ms(reps: int = 50) -> float:
+    """Per-dispatch overhead of a trivial chained op (~5 ms through the
+    axon tunnel)."""
+    triv = jax.jit(lambda c: c + 1.0 - 1.0)
+    return _chain_time_ms(triv, (), reps, 2)
+
+
+def chained_latency_ms(step, args=(), reps: int = 20, warmup: int = 2,
+                       subtract_overhead: bool = True) -> float:
+    """Device latency of a jitted ``step(c, *args) -> c'`` chained scalar.
+
+    ``jax.block_until_ready`` does NOT synchronize through the axon
+    remote-PJRT tunnel, so wall-clock timing of independent dispatches
+    measures dispatch, not device time. Each iteration here depends on the
+    previous one's scalar output and a single scalar is fetched at the
+    end; the measured per-dispatch overhead is subtracted (bench.py
+    pattern, BENCH_NOTES.md)."""
+    total = _chain_time_ms(step, args, reps, warmup)
+    if subtract_overhead:
+        total = max(total - dispatch_overhead_ms(), 1e-3)
+    return total
+
+
 class StepTimer:
     """Wall-clock step timing with warmup discard (the reference's
     benchmark-mode semantics, run_fcos.py:551-575)."""
