@@ -44,6 +44,17 @@ NYU40_OTHERS = 39
 NYU40_BACKGROUND = 40
 NYU40_UNLABELED = 0
 
+# NYU40 id -> name (1-based; ref: run_mask2former.py:43-51)
+NYU40_CLASS_NAMES = [
+    "wall", "floor", "cabinet", "bed", "chair", "sofa", "table", "door",
+    "window", "bookshelf", "picture", "counter", "blinds", "desk",
+    "shelves", "curtain", "dresser", "pillow", "mirror", "floormat",
+    "clothes", "ceiling", "books", "refrigerator", "television", "paper",
+    "towel", "showercurtrain", "box", "whiteboard", "person", "nightstand",
+    "toilet", "sink", "lamp", "bathtub", "bag", "otherstructure",
+    "otherfurniture", "otherprop",
+]
+
 
 def map_category(name: str, is_thing: bool) -> int:
     table = COCO_THINGS_TO_NYU40 if is_thing else COCO_STUFF_TO_NYU40

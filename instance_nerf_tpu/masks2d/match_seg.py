@@ -50,6 +50,27 @@ def convert_seg(
     return result
 
 
+def panoptic_to_semantic(
+    panoptic_seg: np.ndarray, segments_info: list[dict], category_names=None
+) -> np.ndarray:
+    """Panoptic ids -> NYU40 SEMANTIC map (ref: coco2nyu40.py
+    panoptic_to_semantic): per-pixel NYU40 class id with the reference's
+    swap convention — mapped background surfaces (40) become 0 and
+    panoptic void (0) becomes 40."""
+    seg = panoptic_seg.astype(np.int32)
+    out = np.zeros_like(seg)
+    for info in segments_info:
+        name = info.get("category_name")
+        if name is None and category_names is not None:
+            name = category_names[(bool(info["isthing"]), info["category_id"])]
+        nyu = map_category(name or "", bool(info["isthing"]))
+        if nyu == NYU40_BACKGROUND:
+            nyu = 0
+        out[seg == info["id"]] = nyu
+    out[seg == 0] = NYU40_BACKGROUND
+    return out
+
+
 def match_view(
     seg_map: np.ndarray,  # (H, W) int, NYU40-filtered instance map
     proj_masks: np.ndarray,  # (P, H, W) bool projected 3D masks

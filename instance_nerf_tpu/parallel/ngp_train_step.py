@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import optax
 
 from instance_nerf_tpu.models.render import OccupancyGrid, render_rays
-from instance_nerf_tpu.parallel.mesh import replicated
+from instance_nerf_tpu.parallel.mesh import data_sharding, replicated
 
 
 class NGPTrainState(NamedTuple):
@@ -69,7 +69,7 @@ def make_sharded_ngp_step(
         params = optax.apply_updates(state.params, updates)
         return NGPTrainState(params, opt_state), metrics
 
-    ray_sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+    ray_sh = data_sharding(mesh)  # rays over dcn x data
     rep = replicated(mesh)
     return jax.jit(
         step,

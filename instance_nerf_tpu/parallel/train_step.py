@@ -16,7 +16,11 @@ import jax.numpy as jnp
 import optax
 
 from instance_nerf_tpu.models.fcos import fcos_loss, padding_mask
-from instance_nerf_tpu.parallel.mesh import grid_sharding, replicated
+from instance_nerf_tpu.parallel.mesh import (
+    data_sharding,
+    grid_sharding,
+    replicated,
+)
 
 
 class TrainState(NamedTuple):
@@ -95,7 +99,7 @@ def make_fcos_train_step(
         return jax.jit(step)
 
     gs = grid_sharding(mesh)
-    ds = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+    ds = data_sharding(mesh)
     rep = replicated(mesh)
     return jax.jit(
         step,

@@ -31,11 +31,17 @@ from instance_nerf_tpu.models.render import (
 
 @dataclass
 class NGPConfig:
+    # "hash" = exact shared-corner NGP encoding (reference parity);
+    # "fast" = TPU-native brick-grid encoding (models/fast_encode.py),
+    # ~1 gathered row per point-level instead of 8 corner rows
+    encoding: str = "hash"
     n_levels: int = 16
     table_size: int = 2 ** 19
     n_features: int = 2
     base_res: int = 16
     max_res: int = 1024
+    dense_res: int = 16  # fast encoding: MXU-interpolated base grid
+    dense_features: int = 8
     hidden: int = 64
     num_instances: int = 33
     n_rays: int = 4096
@@ -53,20 +59,48 @@ class NGPConfig:
     k_occupied: int | None = None
 
 
+def fast_ngp_config(**overrides) -> NGPConfig:
+    """NGPConfig preset for the TPU-native fast encoding: 6 brick levels
+    (32..1024), 2^17-row tables, MXU dense base grid, bf16 MLPs."""
+    base = dict(
+        encoding="fast", n_levels=6, table_size=2 ** 17, n_features=2,
+        base_res=32, max_res=1024, dense_res=16, dense_features=8,
+        dtype="bfloat16",
+    )
+    base.update(overrides)
+    return NGPConfig(**base)
+
+
 class InstanceFieldTrainer:
     def __init__(self, cfg: NGPConfig, seed: int = 0):
         self.cfg = cfg
         dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else None
-        self.model = InstanceNGP(
-            n_levels=cfg.n_levels,
-            table_size=cfg.table_size,
-            n_features=cfg.n_features,
-            base_res=cfg.base_res,
-            max_res=cfg.max_res,
-            hidden=cfg.hidden,
-            num_instances=cfg.num_instances,
-            dtype=dtype,
-        )
+        if cfg.encoding == "fast":
+            from instance_nerf_tpu.models.fast_encode import InstanceNGPFast
+
+            self.model = InstanceNGPFast(
+                n_levels=cfg.n_levels,
+                table_size=cfg.table_size,
+                n_features=cfg.n_features,
+                base_res=cfg.base_res,
+                max_res=cfg.max_res,
+                dense_res=cfg.dense_res,
+                dense_features=cfg.dense_features,
+                hidden=cfg.hidden,
+                num_instances=cfg.num_instances,
+                dtype=dtype,
+            )
+        else:
+            self.model = InstanceNGP(
+                n_levels=cfg.n_levels,
+                table_size=cfg.table_size,
+                n_features=cfg.n_features,
+                base_res=cfg.base_res,
+                max_res=cfg.max_res,
+                hidden=cfg.hidden,
+                num_instances=cfg.num_instances,
+                dtype=dtype,
+            )
         self.key = jax.random.key(seed)
         self.np_rng = np.random.default_rng(seed)
         xyz0 = jnp.zeros((1, 3))

@@ -1,7 +1,52 @@
 import numpy as np
 
 from instance_nerf_tpu.eval.instance_field_metrics import evaluate_instance_masks
-from instance_nerf_tpu.masks2d.coco_nyu40 import map_category
+from instance_nerf_tpu.masks2d.coco_nyu40 import (
+    COCO_STUFF_TO_NYU40,
+    COCO_THINGS_TO_NYU40,
+    NYU40_CLASS_NAMES,
+    map_category,
+)
+
+# the reference's tables, embedded verbatim for entry-for-entry parity
+# (run_mask2former.py:53-86, coco2nyu40.py:14-44 — a missing stuff class
+# silently mislabels segments)
+_REF_THINGS = {"chair": 5, "couch": 6, "bed": 4, "dining table": 7}
+_REF_STUFF = {
+    "chair": 5, "couch": 6, "bed": 4, "dining table": 7, "curtain": 40,
+    "door-stuff": 40, "floor-wood": 40, "light": 35, "shelf": 10,
+    "stairs": 40, "wall-brick": 40, "wall-stone": 40, "wall-tile": 40,
+    "wall-wood": 40, "window-blind": 40, "window-other": 40,
+    "ceiling-merged": 40, "cabinet-merged": 3, "table-merged": 7,
+    "floor-other-merged": 40, "building-other-merged": 40,
+    "wall-other-merged": 40,
+}
+
+
+def test_mapping_tables_match_reference_entry_for_entry():
+    assert COCO_THINGS_TO_NYU40 == _REF_THINGS
+    assert COCO_STUFF_TO_NYU40 == _REF_STUFF
+    # fallback for unmapped categories is 39 ("otherprop") in both
+    assert map_category("zebra", True) == 39
+    assert map_category("sky-other-merged", False) == 39
+    assert len(NYU40_CLASS_NAMES) == 40
+    assert NYU40_CLASS_NAMES[4] == "chair" and NYU40_CLASS_NAMES[39] == "otherprop"
+
+
+def test_panoptic_to_semantic_swap_convention():
+    import numpy as np
+
+    from instance_nerf_tpu.masks2d.match_seg import panoptic_to_semantic
+
+    seg = np.array([[0, 1, 2], [2, 2, 3]])
+    info = [
+        {"id": 1, "isthing": True, "category_id": 0, "category_name": "chair"},
+        {"id": 2, "isthing": False, "category_id": 0, "category_name": "wall-wood"},
+        {"id": 3, "isthing": True, "category_id": 0, "category_name": "zebra"},
+    ]
+    out = panoptic_to_semantic(seg, info)
+    # void->40, chair->5, wall (40)->0, unmapped->39
+    assert out.tolist() == [[40, 5, 0], [0, 0, 39]]
 from instance_nerf_tpu.masks2d.match_seg import convert_seg, match_view
 from instance_nerf_tpu.masks2d.refine_masks import refine_instance_map
 

@@ -21,9 +21,30 @@ def test_data_axis_size():
 
 def test_make_mesh_shapes():
     mesh = make_mesh(n_data=4, n_spatial=2)
-    assert dict(mesh.shape) == {"data": 4, "sp": 2}
+    assert dict(mesh.shape) == {"dcn": 1, "data": 4, "sp": 2}
     mesh1 = make_mesh(n_data=8, n_spatial=1)
-    assert dict(mesh1.shape) == {"data": 8, "sp": 1}
+    assert dict(mesh1.shape) == {"dcn": 1, "data": 8, "sp": 1}
+    mesh2 = make_mesh(n_dcn=2, n_data=2, n_spatial=2)
+    assert dict(mesh2.shape) == {"dcn": 2, "data": 2, "sp": 2}
+
+
+def test_make_mesh_rejects_oversubscription():
+    import pytest
+
+    with pytest.raises(ValueError):
+        make_mesh(n_dcn=4, n_data=4, n_spatial=4)
+
+
+def test_multislice_mesh_trains_scenes_over_dcn_x_data():
+    """Scenes shard over dcn x data; the sharded sum is still global —
+    the 2x2x2 multi-slice topology of SURVEY §2.16's scale-out story."""
+    mesh = make_mesh(n_dcn=2, n_data=2, n_spatial=2)
+    x = np.arange(64, dtype=np.float32).reshape(4, 16)
+    with mesh:
+        (xs,) = shard_batch(mesh, (x,))
+        total = jax.jit(jnp.sum)(xs)
+    assert len({s.device for s in xs.addressable_shards}) == 8
+    np.testing.assert_allclose(float(total), x.sum())
 
 
 def test_shard_batch_places_arrays():
