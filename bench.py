@@ -4,19 +4,25 @@ Headline: full NeRF-RCNN inference — backbone + box head + per-class NMS
 + mask head + full-grid mask paste — on the reference's own benchmark
 shape (dummy 200x200x130-ish grid, ``nerf_rcnn/run_rcnn.py:729-752``;
 BASELINE.json config #2). The reference publishes no number;
-``vs_baseline`` is measured-ms vs an estimated 200 ms for the same
-end-to-end path on an A100 (backbone ~40 ms + CUDA RoIAlign/NMS/paste
-chain) — a documented estimate, not a measurement.
+``vs_baseline`` divides by an ESTIMATED 200 ms for the same end-to-end
+path on an A100 (backbone ~40 ms + CUDA RoIAlign/NMS/paste chain) — a
+documented estimate, not a measurement (``baseline_is_estimate``).
+
+``extras`` carries the round's other driver-visible numbers: FCOS/RCNN
+train-step latency and instance-field training throughput (rays/s, the
+torch-ngp CUDA role — BASELINE.json north star). Each is guarded so a
+failure cannot take down the headline.
 
 Timing: chained-dependency dispatch with a final host readback
 (``block_until_ready`` does not synchronize through the axon tunnel),
 minus measured per-dispatch overhead. See BENCH_NOTES.md for the full
-measurement table (FCOS latency, train steps, rays/s, op rates).
+measurement table.
 """
 from __future__ import annotations
 
 import json
 import time
+import traceback
 
 import numpy as np
 
@@ -36,7 +42,7 @@ def chained_time_ms(fn, reps: int, warmup: int = 2) -> float:
     return (time.perf_counter() - t0) / reps * 1000
 
 
-def main():
+def headline_rcnn_inference_ms() -> float:
     import jax
     import jax.numpy as jnp
 
@@ -86,7 +92,57 @@ def main():
 
     overhead = chained_time_ms(trivial, reps=50)
     total = chained_time_ms(lambda c: infer(params, grid, rois, c), reps=15)
-    mean_ms = max(total - overhead, 1e-3)
+    return max(total - overhead, 1e-3)
+
+
+def extra_instance_field_rays_per_s() -> dict:
+    from instance_nerf_tpu.train.ngp_trainer import (
+        InstanceFieldTrainer,
+        fast_ngp_config,
+    )
+
+    trainer = InstanceFieldTrainer(fast_ngp_config(k_occupied=32))
+    r = trainer.benchmark_train(reps=20, stage="instance")
+    return {"rays_per_s": round(r["rays_per_s"]),
+            "step_ms": round(r["step_ms"], 2),
+            "n_rays": trainer.cfg.n_rays, "k_occupied": 32,
+            "encoding": "fast"}
+
+
+def extra_fcos_train_step_ms() -> dict:
+    from instance_nerf_tpu.train.fcos_trainer import FCOSConfig, FCOSTrainer
+
+    t = FCOSTrainer(FCOSConfig(batch_size=1))
+    r = t.benchmark_train_step(reps=10)
+    return {"mean_ms": round(r["mean_ms"], 2), "shape": [160, 160, 160],
+            "batch": 1, "backbone": "vgg_EF"}
+
+
+def extra_rcnn_train_step_ms() -> dict:
+    from instance_nerf_tpu.train.rcnn_trainer import RCNNConfig, RCNNTrainer
+
+    t = RCNNTrainer(RCNNConfig(batch_size=1))
+    r = t.benchmark_train_step(reps=8)
+    return {"mean_ms": round(r["mean_ms"], 2), "shape": [160, 160, 160],
+            "batch": 1}
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    mean_ms = headline_rcnn_inference_ms()
+    extras = {}
+    for name, fn in (
+        ("instance_field_train", extra_instance_field_rays_per_s),
+        ("fcos_train_step", extra_fcos_train_step_ms),
+        ("rcnn_train_step", extra_rcnn_train_step_ms),
+    ):
+        try:
+            extras[name] = fn()
+        except Exception:
+            extras[name] = {"error": traceback.format_exc(limit=2).splitlines()[-1]}
 
     print(
         json.dumps(
@@ -95,6 +151,8 @@ def main():
                 "value": round(mean_ms, 3),
                 "unit": "ms",
                 "vs_baseline": round(A100_ESTIMATE_MS / mean_ms, 3),
+                "baseline_is_estimate": True,
+                "extras": extras,
             }
         )
     )

@@ -398,4 +398,49 @@ class FCOSTrainer:
         )
         return {"mean_ms": float(mean), "std_ms": 0.0}
 
+    def benchmark_train_step(self, reps=10, shape=(160, 160, 160), batch=1):
+        """Full FCOS train-step latency (fwd + bwd + adamw) on a
+        synthetic batch (grid + random GT boxes) shaped like training."""
+        cfg = self.cfg
+        if self.state is None:
+            self.init_state()
+        step_fn = make_fcos_train_step(
+            self.model, self.tx, mesh=self.mesh,
+            reg_loss_weight=cfg.reg_loss_weight,
+            center_sampling_radius=cfg.center_sampling_radius,
+            iou_loss_type=cfg.iou_loss_type, use_obb=cfg.rotated_bbox,
+        )
+        rng = np.random.default_rng(0)
+        grids = jnp.asarray(
+            rng.uniform(0, 1, (batch, *shape, cfg.input_dim)), jnp.float32
+        )
+        sizes = jnp.tile(jnp.asarray([[float(s) for s in shape]]), (batch, 1))
+        box_dim = 7 if cfg.rotated_bbox else 6
+        lo = rng.uniform(0, min(shape) * 0.6, (batch, cfg.max_gt, 3))
+        ext = rng.uniform(min(shape) * 0.1, min(shape) * 0.35,
+                          (batch, cfg.max_gt, 3))
+        boxes = np.concatenate([lo, np.minimum(lo + ext, min(shape))], -1)
+        if box_dim == 7:
+            theta = rng.uniform(-np.pi / 2, np.pi / 2, (batch, cfg.max_gt, 1))
+            boxes = np.concatenate([boxes, theta], -1)
+        gt_boxes = jnp.asarray(boxes, jnp.float32)
+        gt_mask = jnp.ones((batch, cfg.max_gt), bool)
+
+        from instance_nerf_tpu.parallel.mesh import shard_batch
+        from instance_nerf_tpu.utils.profiling import dispatch_overhead_ms
+
+        with self.mesh:
+            args = shard_batch(self.mesh, (grids, sizes, gt_boxes, gt_mask))
+            t0 = time.perf_counter()
+            state, metrics = step_fn(self.state, *args)
+            float(metrics["total"])  # compile + settle
+            compile_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                state, metrics = step_fn(state, *args)
+            float(metrics["total"])
+        mean = max((time.perf_counter() - t0) / reps * 1000
+                   - dispatch_overhead_ms(), 1e-3)
+        return {"mean_ms": float(mean), "compile_s": compile_s}
+
 

@@ -204,6 +204,64 @@ class InstanceFieldTrainer:
                     f" ({rate:.0f} rays/s)")
         return {k: float(v) for k, v in last.items()}
 
+    def benchmark_train(self, reps: int = 30, stage: str = "instance",
+                        occupancy: float = 1.0, seed: int = 0):
+        """Train-step throughput (rays/s) on synthetic rays.
+
+        Chained-dependency timing: each step consumes the previous step's
+        params and the ray origins are tied to the previous loss scalar,
+        with ONE host readback at the end (block_until_ready does not
+        synchronize through the axon tunnel) minus measured per-dispatch
+        overhead.
+        """
+        cfg = self.cfg
+        rng = np.random.default_rng(seed)
+        o = rng.normal(size=(cfg.n_rays, 3))
+        o = 0.5 + 1.5 * o / np.linalg.norm(o, axis=-1, keepdims=True)
+        d = np.asarray([0.5, 0.5, 0.5]) - o + 0.1 * rng.normal(size=o.shape)
+        d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+        o = jnp.asarray(o, jnp.float32)
+        d = jnp.asarray(d, jnp.float32)
+        rgb = jnp.asarray(rng.uniform(size=(cfg.n_rays, 3)), jnp.float32)
+        inst = jnp.asarray(
+            rng.integers(0, cfg.num_instances, cfg.n_rays), jnp.int32
+        )
+        occ_grid = self.occ.grid
+        if occupancy < 1.0:
+            g = occ_grid.shape[0]
+            occ_grid = jnp.where(
+                jnp.asarray(rng.uniform(size=(g, g, g)) < occupancy), 1e3, 0.0
+            )
+        step_fn = self._step_fn(stage)
+
+        def one(params, opt_state, chain):
+            params, opt_state, losses = step_fn(
+                params, opt_state, occ_grid, jax.random.key(0),
+                o + chain * 0, d, rgb, inst,
+            )
+            return params, opt_state, losses["rgb"]
+
+        t0 = time.perf_counter()
+        params, opt_state, chain = one(self.params, self.opt_state,
+                                       jnp.float32(0))
+        float(chain)  # compile + settle
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        chain = jnp.float32(0)
+        for _ in range(reps):
+            params, opt_state, chain = one(params, opt_state, chain)
+        float(chain)
+        dt = time.perf_counter() - t0
+
+        from instance_nerf_tpu.utils.profiling import dispatch_overhead_ms
+
+        step_s = max(dt / reps - dispatch_overhead_ms() / 1000, 1e-6)
+        return {
+            "step_ms": step_s * 1000,
+            "rays_per_s": cfg.n_rays / step_s,
+            "compile_s": compile_s,
+        }
+
     def _rays_multi(self, poses, views, pix, scene):
         """Rays for a mixed-view batch (vectorized over per-ray poses)."""
         c2w = poses[jnp.asarray(views)]  # (R, 4, 4)

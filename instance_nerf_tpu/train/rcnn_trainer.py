@@ -375,6 +375,53 @@ class RCNNTrainer:
             "compile_s": time.perf_counter() - t0,
         }
 
+    def benchmark_train_step(self, reps=10, shape=(160, 160, 160), batch=1):
+        """Full RoI-head train-step latency (sample + fwd + bwd + adamw)
+        on a synthetic batch shaped like the training workload."""
+        cfg = self.cfg
+        if self.params is None:
+            self.init_state()
+        step_fn = self._step or self._make_step()
+        rng = np.random.default_rng(0)
+        g = min(shape)
+        grids = jnp.asarray(
+            rng.uniform(0, 1, (batch, *shape, 4)), jnp.float32
+        )
+        sizes = jnp.tile(jnp.asarray([[float(s) for s in shape]]), (batch, 1))
+        rois = jnp.asarray(
+            np.stack([_random_rois(rng, g, cfg.max_rois)[0] for _ in range(batch)])
+        )
+        gt = jnp.asarray(
+            np.stack([_random_rois(rng, g, cfg.max_gt)[0] for _ in range(batch)])
+        )
+        gt_labels = jnp.asarray(
+            rng.integers(1, cfg.num_classes, (batch, cfg.max_gt)), jnp.int32
+        )
+        vmasks = jnp.asarray(
+            rng.uniform(0, 1, (batch, cfg.max_gt, *shape)) < 0.1, jnp.uint8
+        )
+        valid = jnp.ones((batch, cfg.max_rois), bool)
+        gt_mask = jnp.ones((batch, cfg.max_gt), bool)
+
+        from instance_nerf_tpu.utils.profiling import dispatch_overhead_ms
+
+        def one(params, opt_state, key):
+            return step_fn(params, opt_state, key, grids, sizes, rois,
+                           valid, gt, gt_labels, gt_mask, vmasks)
+
+        t0 = time.perf_counter()
+        params, opt_state, metrics = one(self.params, self.opt_state,
+                                         jax.random.key(0))
+        float(metrics["total"])  # compile + settle
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            params, opt_state, metrics = one(params, opt_state, jax.random.key(0))
+        float(metrics["total"])
+        mean = max((time.perf_counter() - t0) / reps * 1000
+                   - dispatch_overhead_ms(), 1e-3)
+        return {"mean_ms": float(mean), "compile_s": compile_s}
+
 
 def _random_rois(rng, grid_size, n):
     lo = rng.uniform(0, grid_size * 0.6, (n, 3))

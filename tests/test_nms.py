@@ -74,6 +74,59 @@ def test_nms_jits():
     np.testing.assert_array_equal(keep1, keep2)
 
 
+def test_streamed_sweep_matches_dense_aabb():
+    """O(block*N)-memory streamed sweep == dense O(N^2) sweep, AABB."""
+    rng = np.random.default_rng(4)
+    n = 700  # non-multiple of block to exercise padding
+    boxes = random_aabbs(rng, n, size=40.0)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    valid = rng.uniform(size=n) < 0.9
+    order = np.argsort(-np.where(valid, scores, -1e30))
+    sboxes = jnp.asarray(boxes[order])
+    svalid = jnp.asarray(valid[order])
+    from instance_nerf_tpu.ops.boxes import box_iou_3d
+
+    dense = N._sweep_xla(box_iou_3d(sboxes, sboxes), svalid, 0.3)
+    streamed = N._sweep_xla_streamed(sboxes, svalid, 0.3, block=128)
+    np.testing.assert_array_equal(np.asarray(dense), np.asarray(streamed))
+
+
+def test_streamed_sweep_matches_dense_obb():
+    rng = np.random.default_rng(5)
+    n = 200
+    ctr = rng.uniform(10, 40, (n, 3))
+    ext = rng.uniform(4, 15, (n, 3))
+    theta = rng.uniform(-np.pi / 2, np.pi / 2, (n, 1))
+    boxes = jnp.asarray(
+        np.concatenate([ctr, ext, theta], -1), jnp.float32
+    )
+    valid = jnp.ones((n,), bool)
+    from instance_nerf_tpu.ops.rotated_iou import cal_iou_3d
+
+    iou = cal_iou_3d(boxes[:, None, :], boxes[None, :, :])
+    dense = N._sweep_xla(iou, valid, 0.3)
+    streamed = N._sweep_xla_streamed(boxes, valid, 0.3, block=64)
+    np.testing.assert_array_equal(np.asarray(dense), np.asarray(streamed))
+
+
+def test_nms_boxes_pallas_interpret_matches_dense():
+    """Fused in-kernel-IoU Pallas sweep (interpret mode) == dense sweep."""
+    from instance_nerf_tpu.kernels.nms_pallas import nms_boxes_pallas
+    from instance_nerf_tpu.ops.boxes import box_iou_3d
+
+    rng = np.random.default_rng(6)
+    n = 300
+    boxes = random_aabbs(rng, n, size=40.0)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    valid = rng.uniform(size=n) < 0.9
+    order = np.argsort(-np.where(valid, scores, -1e30))
+    sboxes = jnp.asarray(boxes[order], jnp.float32)
+    svalid = jnp.asarray(valid[order])
+    dense = N._sweep_xla(box_iou_3d(sboxes, sboxes), svalid, 0.3)
+    fused = nms_boxes_pallas(sboxes, svalid, 0.3, interpret=True)
+    np.testing.assert_array_equal(np.asarray(dense), np.asarray(fused))
+
+
 def test_top_k_by_score():
     scores = jnp.asarray([0.1, 0.9, 0.5, 0.7])
     valid = jnp.asarray([True, True, False, True])

@@ -22,6 +22,102 @@ def test_shift_mask_blocks_cross_region():
     assert (m < 0).any()  # some pairs are masked
 
 
+def ref_relative_position_index(window):
+    """Verbatim numpy oracle of the reference's 3D rel-pos index —
+    feature_extractor.py:548-563 — INCLUDING the two lines the reference
+    flags ``# problematic`` (the row-major mixed-radix multiplies)."""
+    coords = np.stack(
+        np.meshgrid(np.arange(window[0]), np.arange(window[1]),
+                    np.arange(window[2]), indexing="ij")
+    )  # 3, Wh, Ww, Wd
+    coords_flatten = coords.reshape(3, -1)
+    relative_coords = coords_flatten[:, :, None] - coords_flatten[:, None, :]
+    relative_coords = relative_coords.transpose(1, 2, 0).copy()
+    relative_coords[:, :, 0] += window[0] - 1
+    relative_coords[:, :, 1] += window[1] - 1
+    relative_coords[:, :, 2] += window[2] - 1
+    relative_coords[:, :, 0] *= (2 * window[2] - 1) * (2 * window[1] - 1)  # problematic
+    relative_coords[:, :, 1] *= 2 * window[2] - 1  # problematic
+    return relative_coords.sum(-1).reshape(-1)  # flattened (N*N,)
+
+
+def ref_attn_mask(pad_hwd, window_size, shift_size):
+    """Verbatim numpy oracle of the reference's shifted-window attention
+    mask — feature_extractor.py:462-479 — including the ``-0`` slice
+    quirk on zero-shift axes (slice(-0, None) rewrites the whole axis)."""
+    pad_H, pad_W, pad_D = pad_hwd
+    attn_mask = np.zeros((pad_H, pad_W, pad_D), np.float32)
+    h_slices = ((0, -window_size[0]), (-window_size[0], -shift_size[0]),
+                (-shift_size[0], None))
+    w_slices = ((0, -window_size[1]), (-window_size[1], -shift_size[1]),
+                (-shift_size[1], None))
+    d_slices = ((0, -window_size[2]), (-window_size[2], -shift_size[2]),
+                (-shift_size[2], None))
+    count = 0
+    for h in h_slices:
+        for w in w_slices:
+            for d in d_slices:
+                attn_mask[h[0]: h[1], w[0]: w[1], d[0]: d[1]] = count
+                count += 1
+    num_windows = (
+        (pad_H // window_size[0]) * (pad_W // window_size[1])
+        * (pad_D // window_size[2])
+    )
+    m = attn_mask.reshape(
+        pad_H // window_size[0], window_size[0],
+        pad_W // window_size[1], window_size[1],
+        pad_D // window_size[2], window_size[2],
+    ).transpose(0, 2, 4, 1, 3, 5).reshape(
+        num_windows, window_size[0] * window_size[1] * window_size[2]
+    )
+    diff = m[:, None, :] - m[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+def test_relative_position_index_matches_reference_oracle():
+    """Golden: repo index == reference semantics, incl. asymmetric
+    windows where a wrong axis order / radix would diverge."""
+    for window in [(4, 4, 4), (2, 3, 4), (5, 2, 3), (1, 4, 2)]:
+        got = S.relative_position_index(window)
+        n = window[0] * window[1] * window[2]
+        want = ref_relative_position_index(window).reshape(n, n)
+        np.testing.assert_array_equal(got, want), window
+
+
+def test_bias_gather_matches_reference_oracle():
+    """Golden: the module's table gather reproduces the reference's
+    _get_relative_position_bias (feature_extractor.py:500-508)."""
+    window = (2, 3, 4)
+    n = 24
+    heads = 5
+    rng = np.random.default_rng(0)
+    table = rng.normal(size=((2 * 2 - 1) * (2 * 3 - 1) * (2 * 4 - 1), heads))
+    # reference: table[flat_idx].view(N, N, -1).permute(2, 0, 1)
+    want = table[ref_relative_position_index(window)].reshape(
+        n, n, heads
+    ).transpose(2, 0, 1)
+    # repo gather (swin.py ShiftedWindowAttention3D)
+    idx = S.relative_position_index(window)
+    got = table[idx.reshape(-1)].reshape(n, n, heads).transpose(2, 0, 1)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_shift_mask_matches_reference_oracle():
+    """Golden: repo mask == reference mask for mixed shift patterns,
+    including zero-shift axes (the reference's -0 slice quirk)."""
+    cases = [
+        ((8, 8, 8), (4, 4, 4), (2, 2, 2)),
+        ((8, 12, 4), (4, 4, 4), (2, 2, 2)),
+        ((8, 8, 8), (4, 4, 4), (2, 0, 2)),  # zero-shift middle axis
+        ((4, 8, 8), (4, 4, 4), (0, 2, 2)),  # zero-shift first axis
+        ((6, 4, 8), (2, 4, 4), (1, 2, 2)),  # asymmetric window
+    ]
+    for spatial, window, shift in cases:
+        got = S.shift_attention_mask(spatial, window, shift)
+        want = ref_attn_mask(spatial, list(window), list(shift))
+        np.testing.assert_array_equal(got, want), (spatial, window, shift)
+
+
 def test_window_attention_shapes():
     attn = S.ShiftedWindowAttention3D(dim=32, window=(4, 4, 4), shift=(0, 0, 0), num_heads=4)
     x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 8, 8, 8, 32)), jnp.float32)
