@@ -1,0 +1,122 @@
+"""Rotated-box (OBB) FCOS end-to-end drive (VERDICT round-1 item 5).
+
+Generates yaw-rotated synthetic rooms, trains FCOS with
+``rotated_bbox=True`` (8-param MidpointOffset regression, rotated NMS —
+ref: fcos/loss.py:321-380, fcos/utils.py:12-105), and evaluates theta
+recovery on a held-out split with full 3D rotated IoU: for each GT OBB,
+the best-matching proposal's cal_iou_3d. Reports recall@{0.25,0.5,0.7}
+and mean best-IoU; the round-1 acceptance bar is IoU>=0.7 recovery on
+held-out scenes.
+
+Run (TPU): python examples/obb_end_to_end.py --out examples/results/obb_e2e.json
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--root", default="/tmp/synobb")
+    p.add_argument("--out", default="examples/results/obb_e2e.json")
+    p.add_argument("--num_scenes", type=int, default=24)
+    p.add_argument("--resolution", type=int, default=128)
+    p.add_argument("--num_boxes", type=int, default=6)
+    p.add_argument("--epochs", type=int, default=80)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--skip_gen", action="store_true")
+    args = p.parse_args(argv)
+
+    import logging
+
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s: %(message)s")
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from instance_nerf_tpu.data.synthetic import write_dataset
+
+    root = args.root
+    res = (args.resolution,) * 3
+    if not args.skip_gen:
+        t0 = time.time()
+        write_dataset(root, num_scenes=args.num_scenes, grid_size=res,
+                      num_boxes=args.num_boxes, seed=args.seed,
+                      splits=(0.7, 0.3), style="room", rotated=True,
+                      compress=False)
+        print(f"[gen] {args.num_scenes} rotated rooms in {time.time()-t0:.0f}s",
+              flush=True)
+
+    from instance_nerf_tpu.train.fcos_trainer import FCOSConfig, FCOSTrainer
+
+    cfg = FCOSConfig(
+        features_path=os.path.join(root, "features"),
+        boxes_path=os.path.join(root, "boxes_obb"),  # 7-param grid OBBs
+        dataset_split=os.path.join(root, "dataset_split.json"),
+        save_path=os.path.join(root, "fcos_obb_ckpt"),
+        resolution=args.resolution,
+        rotated_bbox=True,
+        iou_loss_type="riou",
+        batch_size=args.batch_size,
+        num_epochs=args.epochs,
+        eval_interval=10 ** 9,  # AABB eval metrics don't apply; eval below
+        preload=True,
+        seed=args.seed,
+    )
+    t = FCOSTrainer(cfg)
+    t1 = time.time()
+    t.train_loop()
+    train_s = time.time() - t1
+
+    # --- rotated-IoU eval on the held-out split ---------------------------
+    from instance_nerf_tpu.ops.rotated_iou import cal_iou_3d
+
+    val = t.make_dataset("val")
+    per_scene = []
+    best_ious_all = []
+    for i in range(len(val)):
+        scene, grid, gt = val.get(i)
+        boxes, scores, _ = t.predict_scene(grid)  # (P, 7) rotated
+        k = min(len(scores), 300)
+        order = np.argsort(-scores)[:k]
+        pb = jnp.asarray(boxes[order], jnp.float32)
+        gtb = jnp.asarray(gt, jnp.float32)
+        iou = np.asarray(cal_iou_3d(gtb[:, None, :], pb[None, :, :]))
+        best = iou.max(axis=1) if iou.size else np.zeros(len(gt))
+        best_ious_all.extend(best.tolist())
+        per_scene.append({"scene": scene, "gt": int(len(gt)),
+                          "best_iou_mean": float(best.mean())})
+        print(f"[eval] {scene}: mean best rotated IoU {best.mean():.3f} "
+              f"(min {best.min():.3f})", flush=True)
+
+    best_ious = np.asarray(best_ious_all)
+    out = {
+        "config": {"num_scenes": args.num_scenes,
+                   "resolution": args.resolution, "epochs": args.epochs},
+        "train_s": round(train_s, 1),
+        "val_gt_count": int(best_ious.size),
+        "mean_best_riou": float(best_ious.mean()),
+        "recall_riou_25": float((best_ious >= 0.25).mean()),
+        "recall_riou_50": float((best_ious >= 0.5).mean()),
+        "recall_riou_70": float((best_ious >= 0.7).mean()),
+        "per_scene": per_scene,
+    }
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+    print("OBB E2E OK", json.dumps({k: out[k] for k in
+          ("mean_best_riou", "recall_riou_50", "recall_riou_70")}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

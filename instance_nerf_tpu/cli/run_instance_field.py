@@ -38,6 +38,9 @@ def build_parser():
     p.add_argument("--k_occupied", type=int, default=32,
                    help="fixed-K occupancy compaction (0 = query all samples)")
     p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--encoding", default="hash", choices=["hash", "fast"],
+                   help="'hash' = reference-parity shared-corner NGP; "
+                        "'fast' = TPU-native brick-grid (fast_encode.py)")
     p.add_argument("--n_levels", type=int, default=16)
     p.add_argument("--log2_table_size", type=int, default=19)
     p.add_argument("--max_res", type=int, default=1024)
@@ -52,11 +55,13 @@ def build_parser():
 
 
 def make_trainer(args):
-    from instance_nerf_tpu.train.ngp_trainer import InstanceFieldTrainer, NGPConfig
+    from instance_nerf_tpu.train.ngp_trainer import (
+        InstanceFieldTrainer,
+        NGPConfig,
+        fast_ngp_config,
+    )
 
-    cfg = NGPConfig(
-        n_levels=args.n_levels,
-        table_size=2 ** args.log2_table_size,
+    common = dict(
         max_res=args.max_res,
         num_instances=args.num_instances,
         n_rays=args.n_rays,
@@ -65,6 +70,14 @@ def make_trainer(args):
         occ_res=args.occ_res,
         k_occupied=args.k_occupied or None,
     )
+    if args.encoding == "fast":
+        cfg = fast_ngp_config(**common)
+    else:
+        cfg = NGPConfig(
+            n_levels=args.n_levels,
+            table_size=2 ** args.log2_table_size,
+            **common,
+        )
     return InstanceFieldTrainer(cfg, seed=args.seed)
 
 

@@ -260,6 +260,7 @@ class SegmentationDataset:
         density_type: str = "ngp",
         transpose_yz: bool = True,
         remap_classes: bool = True,
+        cache: bool = False,
     ):
         assert mode in ("train", "val", "test")
         self.mode = mode
@@ -271,11 +272,22 @@ class SegmentationDataset:
         split_path = data_split or os.path.join(root_dir, "dataset_split.json")
         self.scenes = read_split(split_path, mode)
         self.n_classes = FRONT3D_NUM_CLASSES
+        # optional host-RAM cache of decoded scenes (single-core host:
+        # one decompress per scene instead of one per epoch)
+        self._cache = {} if cache else None
 
     def __len__(self):
         return len(self.scenes)
 
     def load_scene(self, index: int):
+        if self._cache is not None and index in self._cache:
+            return self._cache[index]
+        d = self._load_scene(index)
+        if self._cache is not None:
+            self._cache[index] = d
+        return d
+
+    def _load_scene(self, index: int):
         scene = self.scenes[index]
         grid = load_feature_grid(
             os.path.join(self.root, "features", scene + ".npz"),

@@ -87,6 +87,9 @@ class FCOSConfig:
     max_gt: int = 64
     fpn_strides: tuple = (4, 8, 16, 32)
     seed: int = 0
+    # hold decoded grids in host RAM (one decompress per scene instead of
+    # one per epoch — the single-core host is the data bottleneck)
+    preload: bool = False
 
 
 class FCOSTrainer:
@@ -145,6 +148,7 @@ class FCOSTrainer:
             flip_prob=cfg.flip_prob if aug else 0.0,
             rotate_prob=cfg.rotate_prob if aug else 0.0,
             rot_scale_prob=cfg.rot_scale_prob if aug else 0.0,
+            preload=cfg.preload,
             seed=cfg.seed,
         )
 

@@ -118,7 +118,7 @@ class InstanceFieldTrainer:
         self._sigma_jit = jax.jit(self._sigma_query)
 
     def _sigma_query(self, params, xyz):
-        sigma_raw, _ = self.model.apply(params, xyz, method=InstanceNGP.query)
+        sigma_raw, _ = self.model.apply(params, xyz, method="query")
         return density_activation(sigma_raw)
 
     # -- jitted pieces -------------------------------------------------------
@@ -345,10 +345,10 @@ class InstanceFieldTrainer:
 
         @jax.jit
         def q(params, pts):
-            sigma_raw, geo = self.model.apply(params, pts, method=InstanceNGP.query)
+            sigma_raw, geo = self.model.apply(params, pts, method="query")
             rgb = self.model.apply(
                 params, geo, jnp.broadcast_to(vd, pts.shape),
-                method=InstanceNGP.color,
+                method="color",
             )
             return sigma_raw, rgb
 

@@ -73,6 +73,8 @@ class RCNNConfig:
     max_gt: int = 32
     mask_paste_threshold: float = 0.5
     seed: int = 0
+    # hold decoded scenes (grid + per-instance voxel masks) in host RAM
+    cache_scenes: bool = False
 
 
 class RCNNTrainer:
@@ -201,8 +203,12 @@ class RCNNTrainer:
 
     def train_loop(self):
         cfg = self.cfg
-        ds = SegmentationDataset("train", cfg.dataset_root, cfg.dataset_split or None)
-        val = SegmentationDataset("val", cfg.dataset_root, cfg.dataset_split or None)
+        ds = SegmentationDataset("train", cfg.dataset_root,
+                                 cfg.dataset_split or None,
+                                 cache=cfg.cache_scenes)
+        val = SegmentationDataset("val", cfg.dataset_root,
+                                  cfg.dataset_split or None,
+                                  cache=cfg.cache_scenes)
         if self.params is None:
             self.init_state()
         step_fn = self._make_step()

@@ -159,3 +159,60 @@ def test_rpn_export_bridge_feeds_rcnn_dataset(dataset_dir, tmp_path):
     d = ds.load_scene(0)
     np.testing.assert_allclose(d["rois"], [[2, 2, 2, 20, 20, 18]])
     assert d["level_indices"].tolist() == [1]
+
+
+def test_make_room_scene_class_conditioned():
+    rng = np.random.default_rng(0)
+    grid, boxes, cls, mask = S.make_room_scene(rng, (48, 48, 40), (4, 6))
+    assert grid.shape == (48, 48, 40, 4) and boxes.shape[1] == 6
+    assert set(cls).issubset(set(S.CLASS_STYLES))
+    # floor slab exists (background structure)
+    assert (grid[10:40, 10:40, 0, 3] > 0.5).mean() > 0.9
+    # every box's mask blob sits inside its AABB and has the class color
+    for i, b in enumerate(boxes):
+        sel = mask == i + 1
+        if not sel.any():  # fully overwritten by a later box
+            continue
+        idx = np.argwhere(sel)
+        assert (idx >= np.floor(b[:3]) - 1).all()
+        assert (idx <= np.ceil(b[3:]) + 1 - 1).all()
+        base = np.asarray(S.CLASS_STYLES[int(cls[i])]["color"])
+        got = grid[sel][:, :3].mean(axis=0)
+        assert np.abs(got - base).max() < 0.2
+
+
+def test_make_room_scene_rotated():
+    rng = np.random.default_rng(1)
+    grid, boxes, cls, mask = S.make_room_scene(
+        rng, (48, 48, 40), (4, 6), rotated=True
+    )
+    assert boxes.shape[1] == 7
+    assert (np.abs(boxes[:, 6]) <= np.pi / 2 + 1e-6).all()
+    # rasterized voxels of each instance lie inside the rotated box
+    for i, b in enumerate(boxes):
+        sel = np.argwhere(mask == i + 1)
+        if sel.size == 0:
+            continue
+        d = sel + 0.5 - b[:3]
+        c, s = np.cos(b[6]), np.sin(b[6])
+        bx = c * d[:, 0] + s * d[:, 1]
+        by = -s * d[:, 0] + c * d[:, 1]
+        assert (np.abs(bx) <= b[3] / 2 + 1.0).all()
+        assert (np.abs(by) <= b[4] / 2 + 1.0).all()
+        assert (np.abs(d[:, 2]) <= b[5] / 2 + 1.0).all()
+
+
+def test_write_dataset_rotated_layout(tmp_path):
+    root = str(tmp_path / "rot")
+    S.write_dataset(root, num_scenes=2, grid_size=(32, 32, 24), num_boxes=4,
+                    style="room", rotated=True, compress=False)
+    obb = np.load(os.path.join(root, "boxes_obb", "scene_0000.npy"))
+    assert obb.shape[1] == 7
+    # metadata aabbs enclose the obbs (grid coords round-trip)
+    import json as J
+    with open(os.path.join(root, "metadata", "scene_0000.json")) as f:
+        meta = J.load(f)
+    from instance_nerf_tpu.data.datasets import boxes_from_metadata
+    aabb, _ = boxes_from_metadata(meta, (32, 32, 24))
+    ctr = obb[:, :3]
+    assert (aabb[:, :3] <= ctr + 1e-3).all() and (aabb[:, 3:] >= ctr - 1e-3).all()
