@@ -202,11 +202,13 @@ def render_rays(
     if k_occupied is not None and occ is not None and k_occupied < n_samples:
         occ_all = occ.occupied(xyz_c)  # (R, S)
         s = n_samples
-        # occupied samples first, original (depth) order preserved
+        # occupied samples first, original (depth) order preserved; keys
+        # are unique (iota tiebreak) so top_k == argsort[:K] exactly, at
+        # K/S of the sort cost
         sort_key = jnp.where(occ_all > 0, 0, s) + jax.lax.broadcasted_iota(
             jnp.int32, occ_all.shape, 1
         )
-        order = jnp.argsort(sort_key, axis=1)[:, :k_occupied]  # (R, K)
+        _, order = jax.lax.top_k(-sort_key, k_occupied)  # (R, K)
         keep = jnp.take_along_axis(sort_key, order, axis=1) < s
         xyz_k = jnp.take_along_axis(xyz_c, order[..., None], axis=1)
         t_k = jnp.take_along_axis(t, order, axis=1)
