@@ -133,3 +133,23 @@ def test_top_k_by_score():
     idx, mask = N.top_k_by_score(scores, 3, valid)
     assert np.asarray(idx).tolist() == [1, 3, 0]
     assert np.asarray(mask).all()
+
+
+def test_nms_boxes_pallas_vmap_interpret():
+    """nms_boxes_pallas under vmap (fcos_postprocess wraps NMS in a
+    per-scene vmap) matches per-scene dense sweeps."""
+    from instance_nerf_tpu.kernels.nms_pallas import nms_boxes_pallas
+    from instance_nerf_tpu.ops.boxes import box_iou_3d
+
+    rng = np.random.default_rng(7)
+    b, n = 3, 140
+    boxes = np.stack([random_aabbs(rng, n, size=40.0) for _ in range(b)])
+    valid = rng.uniform(size=(b, n)) < 0.9
+    sboxes = jnp.asarray(boxes, jnp.float32)
+    svalid = jnp.asarray(valid)
+    got = jax.vmap(lambda bb, vv: nms_boxes_pallas(bb, vv, 0.3,
+                                                   interpret=True))(
+        sboxes, svalid)
+    for i in range(b):
+        want = N._sweep_xla(box_iou_3d(sboxes[i], sboxes[i]), svalid[i], 0.3)
+        np.testing.assert_array_equal(np.asarray(got[i]), np.asarray(want)), i
