@@ -76,3 +76,117 @@ def make_sharded_ngp_step(
         in_shardings=(rep, rep, rep, ray_sh, ray_sh, ray_sh, ray_sh),
         out_shardings=(rep, rep),
     )
+
+
+def init_multiscene_params(model, n_scenes: int, rngs=None):
+    """Per-scene parameter stack: every leaf gains a leading (B,) scene
+    axis (independently initialized per scene)."""
+    if rngs is None:
+        rngs = jax.random.split(jax.random.key(0), n_scenes)
+    xyz0 = jnp.zeros((1, 3))
+    vd0 = jnp.asarray([[0.0, 0.0, 1.0]])
+    per = [model.init(rngs[i], xyz0, vd0) for i in range(n_scenes)]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per)
+
+
+def make_multiscene_ngp_step(
+    model_apply,
+    tx,
+    mesh,
+    n_samples: int = 128,
+    k_occupied: int | None = None,
+    occ_threshold: float = 0.01,
+    stage: str = "rgb",
+    instance_fg_weight: float = 5.0,
+):
+    """Batched MULTI-SCENE instance-field training (BASELINE config #5:
+    "~1k scenes over a mesh"): every scene carries its own field
+    parameters and occupancy grid, stacked on a leading (B,) axis that
+    shards over ``dcn x data`` — per-device memory and compute stay
+    constant as scenes scale out, and there is NO gradient collective at
+    all (scenes are independent; Adam is elementwise so the stacked
+    update IS the per-scene update). Rays additionally shard over ``sp``
+    within each scene. The reference trains scenes one python process at
+    a time (torch-ngp, README.md:55-65); this is the TPU-native fleet
+    formulation.
+
+    Returns jitted ``step(state, occ_grids, key, o, d, rgb, inst) ->
+    (state, metrics)`` where every ray arg has shape (B, R, ...),
+    ``occ_grids`` is (B, G, G, G), and state.params leaves have a
+    leading (B,) axis (init_multiscene_params).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from instance_nerf_tpu.parallel.mesh import DATA_AXES
+
+    def one_scene_loss(p, occ_grid, key, o, d, target_rgb, target_inst):
+        occ = OccupancyGrid(occ_grid, occ_threshold)
+        out = render_rays(
+            model_apply, p, key, o, d,
+            n_samples=n_samples, occ=occ,
+            with_instance=stage != "rgb",
+            k_occupied=k_occupied,
+        )
+        rgb_loss = jnp.mean((out.rgb - target_rgb) ** 2)
+        total = rgb_loss if stage != "instance" else 0.0
+        metrics = {"rgb": rgb_loss}
+        if stage != "rgb":
+            valid = target_inst >= 0
+            logp = jax.nn.log_softmax(out.instance_logits, axis=-1)
+            ce = -jnp.take_along_axis(
+                logp, jnp.clip(target_inst, 0)[:, None], axis=-1
+            )[:, 0]
+            w = jnp.where(target_inst > 0, instance_fg_weight, 1.0)
+            w = jnp.where(valid, w, 0.0)
+            inst = jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1)
+            metrics["instance"] = inst
+            total = total + inst
+        metrics["total"] = total
+        return total, metrics
+
+    def step(state, occ_grids, key, o, d, target_rgb, target_inst):
+        b = o.shape[0]
+        keys = jax.random.split(key, b)
+
+        def scene_loss_sum(params):
+            _, metrics = jax.vmap(one_scene_loss)(
+                params, occ_grids, keys, o, d, target_rgb, target_inst
+            )
+            # sum over scenes: d(sum)/d(params_i) = per-scene grads
+            return jnp.sum(metrics["total"]), metrics
+
+        grads, metrics = jax.grad(scene_loss_sum, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        mean_metrics = {k: jnp.mean(v) for k, v in metrics.items()}
+        return NGPTrainState(params, opt_state), mean_metrics
+
+    scene_sh = NamedSharding(mesh, P(DATA_AXES))  # leading (B,) axis
+    ray_sh = NamedSharding(mesh, P(DATA_AXES, "sp"))  # (B, R, ...)
+    rep = replicated(mesh)
+    # state sharding is data-dependent (adam's count is a scalar leaf):
+    # the caller commits the state via shard_multiscene_state and jit
+    # keeps the committed shardings (None = follow the argument)
+    return jax.jit(
+        step,
+        in_shardings=(None, scene_sh, rep, ray_sh, ray_sh, ray_sh, ray_sh),
+    )
+
+
+def shard_multiscene_state(mesh, state: NGPTrainState, n_scenes: int):
+    """Commit a multi-scene train state: leaves with a leading (B,) scene
+    axis shard over dcn x data, scalar leaves (e.g. adam's count)
+    replicate."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from instance_nerf_tpu.parallel.mesh import DATA_AXES
+
+    scene_sh = NamedSharding(mesh, P(DATA_AXES))
+    rep = replicated(mesh)
+
+    def put(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == n_scenes:
+            return jax.device_put(x, scene_sh)
+        return jax.device_put(x, rep)
+
+    return jax.tree_util.tree_map(put, state)

@@ -48,3 +48,59 @@ def test_sharded_ngp_step_runs_and_matches_single():
                   jax.random.key(1), o, d, rgb, inst)
     np.testing.assert_allclose(float(metrics["total"]), float(m1["total"]),
                                rtol=1e-4)
+
+
+def test_multiscene_step_matches_independent_scenes():
+    """Batched multi-scene step == independent per-scene steps (scenes
+    shard over dcn x data; adam is elementwise so the stacked update is
+    exactly the per-scene update)."""
+    from instance_nerf_tpu.parallel.mesh import data_sharding
+    from instance_nerf_tpu.parallel.ngp_train_step import (
+        init_multiscene_params,
+        make_multiscene_ngp_step,
+        shard_multiscene_state,
+    )
+
+    model = InstanceNGP(n_levels=2, table_size=128, max_res=16, hidden=8,
+                        num_instances=3)
+    apply_fn = lambda p, x, v: model.apply(p, x, v)
+    tx = optax.adam(1e-2)
+    b, r = 8, 16
+    rng = np.random.default_rng(0)
+    o = jnp.asarray(rng.uniform(0.2, 0.8, (b, r, 3)), jnp.float32)
+    d = jnp.zeros((b, r, 3)).at[..., 2].set(1.0)
+    rgb = jnp.asarray(rng.uniform(0, 1, (b, r, 3)), jnp.float32)
+    inst = jnp.asarray(rng.integers(0, 3, (b, r)), jnp.int32)
+    occ_grids = jnp.tile(init_occupancy(8).grid[None], (b, 1, 1, 1))
+
+    params = init_multiscene_params(model, b)
+    mesh = make_mesh(n_data=2, n_spatial=2, n_dcn=2)
+    step = make_multiscene_ngp_step(apply_fn, tx, mesh, n_samples=8,
+                                    stage="instance")
+    with mesh:
+        state = shard_multiscene_state(
+            mesh, __import__("instance_nerf_tpu.parallel.ngp_train_step",
+                             fromlist=["NGPTrainState"]).NGPTrainState(
+                params, tx.init(params)), b)
+        occ_sh = jax.device_put(occ_grids, data_sharding(mesh))
+        key = jax.random.key(1)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        ray_sh = NamedSharding(mesh, P(("dcn", "data"), "sp"))
+        args = [jax.device_put(x, ray_sh) for x in (o, d, rgb, inst)]
+        state2, metrics = step(state, occ_sh, key, *args)
+    assert np.isfinite(float(metrics["total"]))
+
+    # oracle: run scene 3 independently with the single-scene math
+    i = 3
+    keys = jax.random.split(key, b)
+    p_i = jax.tree_util.tree_map(lambda x: x[i], params)
+    single = make_sharded_ngp_step(apply_fn, tx, make_mesh(n_data=1),
+                                   n_samples=8, stage="instance")
+    s1 = NGPTrainState(p_i, tx.init(p_i))
+    s2, m2 = single(s1, occ_grids[i], keys[i], o[i], d[i], rgb[i], inst[i])
+    got = jax.tree_util.tree_map(lambda x: np.asarray(x[i]), state2.params)
+    want = jax.tree_util.tree_map(np.asarray, s2.params)
+    flat_g, _ = jax.tree_util.tree_flatten(got)
+    flat_w, _ = jax.tree_util.tree_flatten(want)
+    for g, w in zip(flat_g, flat_w):
+        np.testing.assert_allclose(g, w, rtol=2e-3, atol=2e-5)
