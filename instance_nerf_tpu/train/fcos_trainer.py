@@ -50,6 +50,11 @@ class FCOSConfig:
     # model
     backbone_type: str = "vgg_EF"
     input_dim: int = 4
+    # compute dtype for backbone/head matmuls+convs (params stay f32;
+    # losses promote to f32). bfloat16 is the TPU-native default — the
+    # MXU runs bf16 at 2x f32 and the reference's f32-on-GPU recipe has
+    # no bf16-hostile numerics (GN-normalized activations, focal loss)
+    dtype: str = "bfloat16"
     rotated_bbox: bool = False
     num_convs: int = 4
     norm_reg_targets: bool = True
@@ -101,11 +106,13 @@ class FCOSTrainer:
         # strides [4,8,16,32] anyway (run_fcos.py:156) — both wrong
         # geometry and ~100x head FLOPs. The stride-1 stem stays
         # available via build_backbone(input_size=...) directly.
+        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else None
         backbone = build_backbone(
             cfg.backbone_type,
             input_size=max(cfg.resolution, 160),
             in_channels=cfg.input_dim,
             conv_at_start=cfg.conv_at_start,
+            dtype=dtype,
         )
         self.model = FCOSOverNeRF(
             backbone=backbone,
@@ -114,6 +121,7 @@ class FCOSTrainer:
             norm_reg_targets=cfg.norm_reg_targets,
             centerness_on_reg=cfg.centerness_on_reg,
             use_obb=cfg.rotated_bbox,
+            dtype=dtype,
         )
         n_dev = jax.device_count()
         n_sp = min(cfg.n_spatial, n_dev)

@@ -50,6 +50,8 @@ class RCNNConfig:
     backbone_type: str = "vgg_EF"
     resolution: int = 160
     num_classes: int = 11  # 10 fg + background
+    # compute dtype (params stay f32); bf16 is the TPU-native default
+    dtype: str = "bfloat16"
     bbox_type: str = "aabb"
     batch_size: int = 4
     num_epochs: int = 200
@@ -80,14 +82,17 @@ class RCNNConfig:
 class RCNNTrainer:
     def __init__(self, cfg: RCNNConfig):
         self.cfg = cfg
+        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else None
         backbone = build_backbone(
-            cfg.backbone_type, input_size=max(cfg.resolution, 160)
+            cfg.backbone_type, input_size=max(cfg.resolution, 160),
+            dtype=dtype,
         )
         self.model = NeRF_RCNN(
             backbone=backbone,
             num_classes=cfg.num_classes,
             box_dim=8 if cfg.bbox_type == "obb" else 6,
             input_shape=(cfg.resolution,) * 3,
+            dtype=dtype,
         )
         n_dev = jax.device_count()
         self.mesh = make_mesh(n_data=data_axis_size(cfg.batch_size, n_dev))

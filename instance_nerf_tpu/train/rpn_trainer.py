@@ -61,6 +61,8 @@ class RPNConfig:
     log_interval: int = 30
     eval_interval: int = 4
     keep_checkpoints: int = 2
+    # compute dtype (params stay f32); bf16 is the TPU-native default
+    dtype: str = "bfloat16"
     # rpn specifics (nerf_rpn.py:70-86 defaults)
     conv_depth: int = 4
     fg_iou_thresh: float = 0.7
@@ -86,8 +88,10 @@ class RPNTrainer:
     def __init__(self, cfg: RPNConfig):
         self.cfg = cfg
         self.gen = AnchorGenerator3D()
+        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else None
         backbone = build_backbone(
-            cfg.backbone_type, input_size=max(cfg.resolution, 160)
+            cfg.backbone_type, input_size=max(cfg.resolution, 160),
+            dtype=dtype,
         )
         self.model = NeRFRegionProposalNetwork(
             backbone=backbone,
@@ -95,6 +99,7 @@ class RPNTrainer:
             conv_depth=cfg.conv_depth,
             rotated=cfg.rotated_bbox,
             fpn_strides=tuple(cfg.fpn_strides),
+            dtype=dtype,
         )
         self.mesh = make_mesh(
             n_data=data_axis_size(cfg.batch_size, jax.device_count())
