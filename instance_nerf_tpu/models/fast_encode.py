@@ -136,15 +136,20 @@ def _brick_encode_block(table, x, resolutions):
 
     lvl_off = (jnp.arange(L, dtype=jnp.uint32) * jnp.uint32(T))[None]
     flat = (idx + lvl_off).astype(jnp.int32).reshape(-1)  # (N*L,)
-    rows = jnp.take(table.reshape(L * T, C * F), flat, axis=0)
-    rows = rows.reshape(n, L, C, F)
+    rows = jnp.take(table.reshape(L * T, C * F), flat, axis=0)  # (N*L, 16)
 
+    # corner weighting in the FLAT (N*L, C*F) layout: the natural
+    # (N, L, 8, F) einsum forces tiny-minor-dim (F=2) layouts that cost
+    # ~10 ms of transposes at 131k points (measured on v5e — 17.3 ms vs
+    # 7.0 ms for this formulation). Row packing is corner-major
+    # feature-minor, so repeating w along F matches (c, f) exactly.
     w = jnp.where(
-        jnp.asarray(CORNER_OFFSETS)[None, None] == 1,
-        frac[:, :, None, :], 1.0 - frac[:, :, None, :],
+        jnp.asarray(CORNER_OFFSETS)[None] == 1,
+        frac.reshape(-1, 1, 3), 1.0 - frac.reshape(-1, 1, 3),
     )
-    w = w[..., 0] * w[..., 1] * w[..., 2]  # (N, L, 8)
-    feats = jnp.einsum("nlc,nlcf->nlf", w, rows)
+    w = w[..., 0] * w[..., 1] * w[..., 2]  # (N*L, 8)
+    w_cf = jnp.repeat(w, F, axis=-1)  # (N*L, C*F)
+    feats = (rows * w_cf).reshape(-1, C, F).sum(axis=1)  # (N*L, F)
     return feats.reshape(n, L * F)
 
 
