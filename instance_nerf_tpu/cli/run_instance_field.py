@@ -25,7 +25,8 @@ import os
 def build_parser():
     p = argparse.ArgumentParser("run_instance_field")
     p.add_argument("--mode", default="train",
-                   choices=["train", "train_instance", "render", "extract_features"])
+                   choices=["train", "train_instance", "render",
+                            "extract_features", "benchmark"])
     p.add_argument("--scene", default="", help="scene root with transforms.json")
     p.add_argument("--transforms", default="transforms.json")
     p.add_argument("--masks_dir", default="", help="matched 2D instance masks (.npy per view)")
@@ -137,6 +138,16 @@ def main(argv=None):
             np.save(os.path.join(args.save_path, f"instance_{v:03d}.npy"),
                     out["instance"])
         print(json.dumps({"rendered": scene.num_views, "out": args.save_path}))
+
+    elif args.mode == "benchmark":
+        r = trainer.benchmark_train(reps=20, stage="instance")
+        print(json.dumps({
+            "encoding": args.encoding,
+            "rays_per_s": round(r["rays_per_s"]),
+            "step_ms": round(r["step_ms"], 2),
+            "n_rays": trainer.cfg.n_rays,
+            "k_occupied": trainer.cfg.k_occupied,
+        }))
 
     elif args.mode == "extract_features":
         import numpy as np
