@@ -75,6 +75,10 @@ def main(argv=None):
         eval_interval=max(args.fcos_epochs // 3, 1),
         rot_scale_prob=0.0,
         preload=True,
+        # rooms have <=15 boxes; max_gt=64 blows HBM at batch 4 x 160^3
+        # (pairwise target-assignment tensors) — 16 fits with remat
+        max_gt=16,
+        remat=True,
         seed=args.seed,
     )
     ft = FCOSTrainer(fcfg)

@@ -66,11 +66,13 @@ def main(argv=None):
         save_path=os.path.join(root, "fcos_obb_ckpt"),
         resolution=args.resolution,
         rotated_bbox=True,
-        iou_loss_type="riou",
+        iou_loss_type="iou",
         batch_size=args.batch_size,
         num_epochs=args.epochs,
         eval_interval=10 ** 9,  # AABB eval metrics don't apply; eval below
         preload=True,
+        max_gt=16,  # rooms have <=9 boxes; shrinks pairwise target tensors
+        remat=True,
         seed=args.seed,
     )
     t = FCOSTrainer(cfg)

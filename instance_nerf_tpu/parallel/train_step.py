@@ -64,14 +64,27 @@ def make_fcos_train_step(
     center_sampling_radius: float = 1.5,
     iou_loss_type: str = "iou",
     use_obb: bool = False,
+    jit_step: bool = True,
+    remat: bool = False,
 ):
     """Returns jitted ``step(state, grids, grid_sizes, gt_boxes, gt_mask)
     -> (state, metrics)``. With a mesh, inputs are annotated so the scene
-    batch rides the ``data`` axis and grids shard spatially on ``sp``."""
+    batch rides the ``data`` axis and grids shard spatially on ``sp``.
+    ``jit_step=False`` returns the raw traceable step (for wrapping in
+    ``lax.scan`` — multi-step dispatch amortizes host overhead).
+    ``remat=True`` rematerializes the backbone+head forward in the
+    backward pass (trades ~1/3 more FLOPs for activation memory — lets
+    batch 4 x 160^3 fit a single v5e chip)."""
+
+    def apply_fn(params, grids):
+        return model.apply(params, grids, train=True)
+
+    if remat:
+        apply_fn = jax.checkpoint(apply_fn)
 
     def step(state: TrainState, grids, grid_sizes, gt_boxes, gt_mask):
         def loss_fn(params):
-            info, logits, reg, ctr, _ = model.apply(params, grids, train=True)
+            info, logits, reg, ctr, _ = apply_fn(params, grids)
             pm = padding_mask(info, grid_sizes)
             losses = fcos_loss(
                 info, logits, reg, ctr, gt_boxes, gt_mask,
@@ -95,6 +108,8 @@ def make_fcos_train_step(
         metrics = dict(losses, total=total)
         return TrainState(params, opt_state, state.step + 1), metrics
 
+    if not jit_step:
+        return step
     if mesh is None:
         return jax.jit(step)
 

@@ -90,6 +90,9 @@ class FCOSConfig:
     # parallel
     n_spatial: int = 1
     max_gt: int = 64
+    # rematerialize the backbone forward in backward (activation memory
+    # for FLOPs; needed for batch 4 x 160^3 on one v5e chip)
+    remat: bool = False
     fpn_strides: tuple = (4, 8, 16, 32)
     seed: int = 0
     # hold decoded grids in host RAM (one decompress per scene instead of
@@ -209,6 +212,7 @@ class FCOSTrainer:
             center_sampling_radius=cfg.center_sampling_radius,
             iou_loss_type=cfg.iou_loss_type,
             use_obb=cfg.rotated_bbox,
+            remat=cfg.remat,
         )
 
         rng = np.random.default_rng(cfg.seed)
@@ -410,17 +414,22 @@ class FCOSTrainer:
         )
         return {"mean_ms": float(mean), "std_ms": 0.0}
 
-    def benchmark_train_step(self, reps=10, shape=(160, 160, 160), batch=1):
-        """Full FCOS train-step latency (fwd + bwd + adamw) on a
-        synthetic batch (grid + random GT boxes) shaped like training."""
+    def benchmark_train_step(self, reps=3, shape=(160, 160, 160), batch=1,
+                             scan_len=10):
+        """Device latency of the full FCOS train step (fwd + bwd + adamw)
+        on a synthetic batch: ``scan_len`` steps run inside ONE jitted
+        ``lax.scan`` dispatch, so per-call host/tunnel overhead (which
+        dwarfs device time through the axon remote-PJRT tunnel — measured
+        ~1.3 s/call at 160^3) cannot contaminate the number."""
         cfg = self.cfg
         if self.state is None:
             self.init_state()
-        step_fn = make_fcos_train_step(
-            self.model, self.tx, mesh=self.mesh,
+        raw_step = make_fcos_train_step(
+            self.model, self.tx,
             reg_loss_weight=cfg.reg_loss_weight,
             center_sampling_radius=cfg.center_sampling_radius,
             iou_loss_type=cfg.iou_loss_type, use_obb=cfg.rotated_bbox,
+            jit_step=False,
         )
         rng = np.random.default_rng(0)
         grids = jnp.asarray(
@@ -438,21 +447,26 @@ class FCOSTrainer:
         gt_boxes = jnp.asarray(boxes, jnp.float32)
         gt_mask = jnp.ones((batch, cfg.max_gt), bool)
 
-        from instance_nerf_tpu.parallel.mesh import shard_batch
-        from instance_nerf_tpu.utils.profiling import dispatch_overhead_ms
+        @jax.jit
+        def run(state, grids, sizes, gt_boxes, gt_mask):
+            # big arrays arrive as jit ARGUMENTS (axon remote compiler
+            # rejects large captured constants)
+            def body(s, _):
+                s2, metrics = raw_step(s, grids, sizes, gt_boxes, gt_mask)
+                return s2, metrics["total"]
 
-        with self.mesh:
-            args = shard_batch(self.mesh, (grids, sizes, gt_boxes, gt_mask))
-            t0 = time.perf_counter()
-            state, metrics = step_fn(self.state, *args)
-            float(metrics["total"])  # compile + settle
-            compile_s = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                state, metrics = step_fn(state, *args)
-            float(metrics["total"])
-        mean = max((time.perf_counter() - t0) / reps * 1000
-                   - dispatch_overhead_ms(), 1e-3)
+            state, totals = jax.lax.scan(body, state, None, length=scan_len)
+            return totals[-1]
+
+        t0 = time.perf_counter()
+        tot = run(self.state, grids, sizes, gt_boxes, gt_mask)
+        float(tot)  # compile + settle
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            tot = run(self.state, grids, sizes, gt_boxes, gt_mask)
+        float(tot)
+        mean = (time.perf_counter() - t0) / (reps * scan_len) * 1000
         return {"mean_ms": float(mean), "compile_s": compile_s}
 
 

@@ -145,10 +145,9 @@ class RCNNTrainer:
 
     # -- train ----------------------------------------------------------------
 
-    def _make_step(self):
+    def _make_step(self, jit_step: bool = True):
         cfg = self.cfg
 
-        @jax.jit
         def step(params, opt_state, key, grids, grid_sizes, rois, roi_valid,
                  gt_boxes, gt_labels, gt_mask, gt_vmasks):
             k_sample, _ = jax.random.split(key)
@@ -204,7 +203,7 @@ class RCNNTrainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, metrics
 
-        return step
+        return jax.jit(step) if jit_step else step
 
     def train_loop(self):
         cfg = self.cfg
@@ -386,13 +385,15 @@ class RCNNTrainer:
             "compile_s": time.perf_counter() - t0,
         }
 
-    def benchmark_train_step(self, reps=10, shape=(160, 160, 160), batch=1):
-        """Full RoI-head train-step latency (sample + fwd + bwd + adamw)
-        on a synthetic batch shaped like the training workload."""
+    def benchmark_train_step(self, reps=3, shape=(160, 160, 160), batch=1,
+                             scan_len=8):
+        """Device latency of the RoI-head train step (sample + fwd + bwd
+        + adamw): ``scan_len`` steps inside ONE jitted lax.scan so host
+        dispatch overhead through the axon tunnel can't contaminate it."""
         cfg = self.cfg
         if self.params is None:
             self.init_state()
-        step_fn = self._step or self._make_step()
+        raw_step = self._make_step(jit_step=False)
         rng = np.random.default_rng(0)
         g = min(shape)
         grids = jnp.asarray(
@@ -414,23 +415,33 @@ class RCNNTrainer:
         valid = jnp.ones((batch, cfg.max_rois), bool)
         gt_mask = jnp.ones((batch, cfg.max_gt), bool)
 
-        from instance_nerf_tpu.utils.profiling import dispatch_overhead_ms
+        @jax.jit
+        def run(params, opt_state, key, *batch_args):
+            def body(carry, _):
+                p, o, k = carry
+                k, sk = jax.random.split(k)
+                p, o, metrics = raw_step(p, o, sk, *batch_args)
+                return (p, o, k), metrics["total"]
 
-        def one(params, opt_state, key):
-            return step_fn(params, opt_state, key, grids, sizes, rois,
-                           valid, gt, gt_labels, gt_mask, vmasks)
+            (_, _, _), totals = jax.lax.scan(
+                body, (params, opt_state, key), None, length=scan_len
+            )
+            return totals[-1]
 
+        # big arrays as jit ARGUMENTS (the axon remote compiler rejects
+        # large captured constants)
+        batch_args = (grids, sizes, rois, valid, gt, gt_labels, gt_mask,
+                      vmasks)
         t0 = time.perf_counter()
-        params, opt_state, metrics = one(self.params, self.opt_state,
-                                         jax.random.key(0))
-        float(metrics["total"])  # compile + settle
+        tot = run(self.params, self.opt_state, jax.random.key(0), *batch_args)
+        float(tot)  # compile + settle
         compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
         for _ in range(reps):
-            params, opt_state, metrics = one(params, opt_state, jax.random.key(0))
-        float(metrics["total"])
-        mean = max((time.perf_counter() - t0) / reps * 1000
-                   - dispatch_overhead_ms(), 1e-3)
+            tot = run(self.params, self.opt_state, jax.random.key(0),
+                      *batch_args)
+        float(tot)
+        mean = (time.perf_counter() - t0) / (reps * scan_len) * 1000
         return {"mean_ms": float(mean), "compile_s": compile_s}
 
 
