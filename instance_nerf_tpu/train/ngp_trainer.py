@@ -59,6 +59,22 @@ class NGPConfig:
     k_occupied: int | None = None
 
 
+def rays_multi(poses, views, pix, scene):
+    """Rays for a mixed-view batch (vectorized over per-ray poses)."""
+    c2w = poses[jnp.asarray(views)]  # (R, 4, 4)
+    fx, fy, cx, cy = scene.intrinsics
+    h, w = scene.hw
+    pixj = jnp.asarray(pix)
+    py = (pixj // w).astype(jnp.float32) + 0.5
+    px = (pixj % w).astype(jnp.float32) + 0.5
+    dirs = jnp.stack(
+        [(px - cx) / fx, -(py - cy) / fy, -jnp.ones_like(px)], axis=-1
+    )
+    d = jnp.einsum("rij,rj->ri", c2w[:, :3, :3], dirs)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    return c2w[:, :3, 3], d
+
+
 def fast_ngp_config(**overrides) -> NGPConfig:
     """NGPConfig preset for the TPU-native fast encoding: 6 brick levels
     (32..1024), 2^17-row tables, MXU dense base grid, bf16 MLPs."""
@@ -263,19 +279,7 @@ class InstanceFieldTrainer:
         }
 
     def _rays_multi(self, poses, views, pix, scene):
-        """Rays for a mixed-view batch (vectorized over per-ray poses)."""
-        c2w = poses[jnp.asarray(views)]  # (R, 4, 4)
-        fx, fy, cx, cy = scene.intrinsics
-        h, w = scene.hw
-        pixj = jnp.asarray(pix)
-        py = (pixj // w).astype(jnp.float32) + 0.5
-        px = (pixj % w).astype(jnp.float32) + 0.5
-        dirs = jnp.stack(
-            [(px - cx) / fx, -(py - cy) / fy, -jnp.ones_like(px)], axis=-1
-        )
-        d = jnp.einsum("rij,rj->ri", c2w[:, :3, :3], dirs)
-        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-        return c2w[:, :3, 3], d
+        return rays_multi(poses, views, pix, scene)
 
     # -- inference -----------------------------------------------------------
 

@@ -104,3 +104,31 @@ def test_multiscene_step_matches_independent_scenes():
     flat_w, _ = jax.tree_util.tree_flatten(want)
     for g, w in zip(flat_g, flat_w):
         np.testing.assert_allclose(g, w, rtol=2e-3, atol=2e-5)
+
+
+def test_multiscene_trainer_end_to_end():
+    """MultiSceneFieldTrainer: 4 tiny posed-image scenes advance jointly
+    on the CPU mesh; loss drops and per-scene params diverge."""
+    from instance_nerf_tpu.data.nerf_dataset import make_synthetic_nerf_scene
+    from instance_nerf_tpu.train.multiscene import MultiSceneFieldTrainer
+    from instance_nerf_tpu.train.ngp_trainer import fast_ngp_config
+
+    rng = np.random.default_rng(0)
+    scenes = [make_synthetic_nerf_scene(rng, n_views=2, hw=(16, 16),
+                                        n_blobs=1)[0] for _ in range(4)]
+    cfg = fast_ngp_config(
+        n_rays=32, n_samples=8, k_occupied=4, n_levels=2,
+        table_size=256, dense_res=4, dense_features=2, hidden=8,
+        num_instances=3, occ_res=8, occ_update_every=5,
+        dtype="float32",
+    )
+    tr = MultiSceneFieldTrainer(scenes, cfg, seed=0)
+    first = tr.train(2, stage="rgb", log_every=10**9)
+    last = tr.train(30, stage="rgb", log_every=10**9)
+    assert np.isfinite(last["rgb"]) and last["rgb"] < first["rgb"] * 1.5
+    p0 = tr.scene_params(0)
+    p1 = tr.scene_params(1)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        p0, p1)
+    assert max(jax.tree_util.tree_leaves(diffs)) > 0
