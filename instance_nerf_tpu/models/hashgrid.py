@@ -97,13 +97,18 @@ def _hash_encode_block(table, x, resolutions):
     lvl_off = (jnp.arange(L, dtype=jnp.uint32) * jnp.uint32(T))[None, :, None]
     flat_idx = (idx + lvl_off).astype(jnp.int32).reshape(-1)
     gathered = jnp.take(table.reshape(L * T, F), flat_idx, axis=0)
-    gathered = gathered.reshape(n, L, 8, F)
+    # weighting in the gather's own flat (N*L, 8*F) layout — the
+    # (N, L, 8, F) einsum forces tiny-minor-dim layouts that cost ~10 ms
+    # of transposes at 131k pts (measured; see models/fast_encode.py)
+    gathered = gathered.reshape(n * L, 8 * F)
 
-    # trilinear weights (N, L, 8)
-    w = jnp.where(jnp.asarray(CORNER_OFFSETS)[None, None] == 1, frac[:, :, None, :],
-                  1.0 - frac[:, :, None, :])
-    w = w[..., 0] * w[..., 1] * w[..., 2]
-    feats = jnp.einsum("nlc,nlcf->nlf", w, gathered)
+    # trilinear weights (N*L, 8) -> repeated along F (corner-major
+    # feature-minor row packing)
+    w = jnp.where(jnp.asarray(CORNER_OFFSETS)[None] == 1,
+                  frac.reshape(-1, 1, 3), 1.0 - frac.reshape(-1, 1, 3))
+    w = w[..., 0] * w[..., 1] * w[..., 2]  # (N*L, 8)
+    w_cf = jnp.repeat(w, F, axis=-1)  # (N*L, 8*F)
+    feats = (gathered * w_cf).reshape(-1, 8, F).sum(axis=1)
     return feats.reshape(n, L * F)
 
 
