@@ -283,6 +283,12 @@ def decode_fcos_aabb(locations, dist):
     return jnp.concatenate([lo, hi], axis=-1)
 
 
+def _safe_norm(x, axis=-1, eps=1e-12):
+    """norm with a finite gradient at 0 (jnp.linalg.norm backward is
+    0/0 = NaN at the origin — predictions DO hit exact zeros in bf16)."""
+    return jnp.sqrt(jnp.sum(x * x, axis=axis) + eps)
+
+
 def decode_fcos_obb(locations, reg):
     """Midpoint-offset 8-param -> OBB (ref: fcos/utils.py:12-72)."""
     x0 = locations[..., 0] - reg[..., 0]
@@ -297,15 +303,15 @@ def decode_fcos_obb(locations, reg):
     cx, cy, cz = (x0 + x1) / 2, (y0 + y1) / 2, (z0 + z1) / 2
     v0 = jnp.stack([vx - cx, y1 - cy], axis=-1)
     v1 = jnp.stack([x1 - cx, vy - cy], axis=-1)
-    d0 = jnp.linalg.norm(v0, axis=-1)
-    d1 = jnp.linalg.norm(v1, axis=-1)
+    d0 = _safe_norm(v0)
+    d1 = _safe_norm(v1)
     dmax = jnp.maximum(d0, d1)
     v0 = v0 / (d0[..., None] + 1e-7) * dmax[..., None]
     v1 = v1 / (d1[..., None] + 1e-7) * dmax[..., None]
 
-    l = jnp.linalg.norm(v0 - v1, axis=-1)
+    l = _safe_norm(v0 - v1)
     mid = (v0 + v1) / 2
-    w = jnp.linalg.norm(mid, axis=-1) * 2
+    w = _safe_norm(mid) * 2
     h = z1 - z0
     mid_x = jnp.where((mid[..., 0] == 0) & (mid[..., 1] == 0), 1e-7, mid[..., 0])
     theta = jnp.arctan2(mid[..., 1], mid_x)
@@ -425,6 +431,12 @@ def fcos_loss(
     axis_name: str | None = None,
 ):
     """Full FCOS loss (ref: loss.py:477-591). Returns dict of scalars."""
+    # losses in f32 regardless of the model compute dtype: the rotated-
+    # IoU path (polygon clipping, norms) is bf16-hostile, and bf16's
+    # coarse grid makes exact zeros (NaN-gradient configs) common
+    logits = logits.astype(jnp.float32)
+    box_reg = box_reg.astype(jnp.float32)
+    centerness = centerness.astype(jnp.float32)
     target_fn = fcos_targets_obb if use_obb else fcos_targets
     labels, reg_t = jax.vmap(
         lambda b, m: target_fn(

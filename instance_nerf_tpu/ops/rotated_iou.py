@@ -185,7 +185,9 @@ def enclosing_box_pca(corners1, corners2):
                      precision=jax.lax.Precision.HIGHEST)
     a, b = cov[..., 0, 0], cov[..., 1, 1]
     cc = cov[..., 0, 1]
-    delta = jnp.sqrt(jnp.maximum(a * a + 4 * cc * cc - 2 * a * b + b * b, 0.0))
+    # EPS floor: sqrt'(0) = inf would NaN the giou gradient at
+    # degenerate (collinear) corner sets
+    delta = jnp.sqrt(jnp.maximum(a * a + 4 * cc * cc - 2 * a * b + b * b, EPS))
     cc_safe = jnp.where(jnp.abs(cc) < EPS, EPS, cc)
     v1 = jnp.stack([(a - b - delta) / (2 * cc_safe), jnp.ones_like(a)], axis=-1)
     v2 = jnp.stack([(a - b + delta) / (2 * cc_safe), jnp.ones_like(a)], axis=-1)

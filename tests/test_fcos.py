@@ -196,3 +196,44 @@ def test_fcos_postprocess_obb():
     assert box.shape == (7,)
     np.testing.assert_allclose(box[:3], [14, 14, 12], atol=0.6)
     np.testing.assert_allclose(box[5], 10.0, atol=0.5)
+
+
+def test_obb_loss_gradient_finite_at_degenerate_preds():
+    """Regression: all-zero 8-param predictions decode to zero-extent
+    boxes whose norm-at-origin previously produced NaN GRADIENTS (finite
+    forward) — the failure mode that NaN'd rotated training on TPU bf16."""
+    rng = np.random.default_rng(0)
+    n = 16
+    pred = jnp.zeros((n, 8), jnp.float32)  # exact zeros: worst case
+    tgt = jnp.asarray(
+        np.concatenate([rng.uniform(1, 5, (n, 6)),
+                        rng.uniform(-0.4, 0.4, (n, 2))], -1), jnp.float32)
+
+    def loss(p):
+        return jnp.sum(F.rotated_iou_loss(p, tgt, "iou"))
+
+    val, g = jax.value_and_grad(loss)(pred)
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(g)).all()
+    # and with pred == target exactly (mid vectors can coincide)
+    val2, g2 = jax.value_and_grad(loss)(tgt)
+    assert np.isfinite(float(val2))
+    assert np.isfinite(np.asarray(g2)).all()
+
+
+def test_fcos_loss_f32_under_bf16_inputs():
+    """fcos_loss must return finite f32 scalars for bf16 head outputs
+    (the loss casts to f32 at entry)."""
+    shapes = [(32 // st, 32 // st, 32 // st) for st in (4, 8, 16, 32)]
+    info = F.compute_locations(shapes, (4, 8, 16, 32))
+    r = info.locations.shape[0]
+    rng = np.random.default_rng(1)
+    logits = jnp.asarray(rng.normal(size=(1, r)), jnp.bfloat16)
+    reg = jnp.asarray(rng.uniform(0.1, 4, (1, r, 8)), jnp.bfloat16)
+    ctr = jnp.asarray(rng.normal(size=(1, r)), jnp.bfloat16)
+    gt = jnp.asarray([[[14, 14, 14, 10, 8, 9, 0.4]]], jnp.float32)
+    gtm = jnp.ones((1, 1), bool)
+    out = F.fcos_loss(info, logits, reg, ctr, gt, gtm, use_obb=True)
+    for k in ("loss_cls", "loss_reg", "loss_centerness"):
+        assert out[k].dtype == jnp.float32
+        assert np.isfinite(float(out[k])), k
