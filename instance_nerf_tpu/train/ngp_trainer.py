@@ -291,11 +291,15 @@ class InstanceFieldTrainer:
 
             @jax.jit
             def render(params, occ_grid, key, o, d):
+                # same fixed-K compacted integration the field was
+                # TRAINED through — rendering with a different sampling
+                # scheme evaluates the field off its supervised manifold
                 return render_rays(
                     self._apply, params, key, o, d,
                     n_samples=cfg.n_samples,
                     occ=OccupancyGrid(occ_grid, cfg.occ_threshold),
                     stratified=False, with_instance=with_instance,
+                    k_occupied=cfg.k_occupied,
                 )
 
             self._render_fns[with_instance] = render
