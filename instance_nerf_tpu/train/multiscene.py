@@ -149,3 +149,23 @@ class MultiSceneFieldTrainer:
         """Extract one scene's params (e.g. for single-scene rendering
         via InstanceFieldTrainer)."""
         return jax.tree_util.tree_map(lambda x: x[i], self.state.params)
+
+    def save(self, path: str, step: int = 0, metrics=None):
+        """Checkpoint the whole fleet (stacked params + occupancy)."""
+        from instance_nerf_tpu.train.checkpoints import CheckpointManager
+
+        mgr = CheckpointManager(path, keep=2)
+        mgr.save(step, {"params": self.state.params,
+                        "occ_grids": self.occ_grids},
+                 config={"n_scenes": len(self.scenes)},
+                 metrics=metrics or {})
+
+    def restore(self, path: str):
+        from instance_nerf_tpu.train.checkpoints import CheckpointManager
+
+        mgr = CheckpointManager(path)
+        tmpl = {"params": self.state.params, "occ_grids": self.occ_grids}
+        state, meta = mgr.restore(tmpl)
+        self.state = NGPTrainState(state["params"], self.state.opt_state)
+        self.occ_grids = jnp.asarray(state["occ_grids"])
+        return meta
