@@ -37,6 +37,9 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--skip_gen", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="resume FCOS training from save_path (restart "
+                        "robustness for flaky links)")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,
@@ -72,7 +75,8 @@ def main(argv=None):
         resolution=args.resolution,
         batch_size=args.batch_size,
         num_epochs=args.fcos_epochs,
-        eval_interval=max(args.fcos_epochs // 3, 1),
+        eval_interval=max(args.fcos_epochs // 6, 1),
+        resume=args.resume,
         rot_scale_prob=0.0,
         preload=True,
         # rooms have <=15 boxes; max_gt=64 blows HBM at batch 4 x 160^3
