@@ -32,6 +32,7 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--skip_gen", action="store_true")
+    p.add_argument("--resume", action="store_true")
     args = p.parse_args(argv)
 
     import logging
@@ -73,6 +74,7 @@ def main(argv=None):
         preload=True,
         max_gt=16,  # rooms have <=9 boxes; shrinks pairwise target tensors
         remat=True,
+        resume=args.resume,
         seed=args.seed,
     )
     t = FCOSTrainer(cfg)
