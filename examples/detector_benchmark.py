@@ -40,6 +40,9 @@ def main(argv=None):
     p.add_argument("--resume", action="store_true",
                    help="resume FCOS training from save_path (restart "
                         "robustness for flaky links)")
+    p.add_argument("--skip_fcos", action="store_true",
+                   help="reuse existing FCOS ckpt + exported rois/; jump "
+                        "straight to the RCNN stage")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,
@@ -85,41 +88,63 @@ def main(argv=None):
         remat=True,
         seed=args.seed,
     )
-    ft = FCOSTrainer(fcfg)
-    t1 = time.time()
-    ft.train_loop()
-    fcos_train_s = time.time() - t1
-    val_ds = ft.make_dataset("val")
-    fcos_metrics = ft.eval(val_ds)
-    print("[fcos] val:", json.dumps(fcos_metrics), flush=True)
+    fcos_metrics = {}
+    fcos_train_s = 0.0
+    marker = os.path.join(root, "rois", ".fcos_exported")
+    if args.skip_fcos and os.path.exists(marker):
+        # reuse the existing ckpt + exports; reload metrics if recorded
+        mpath = os.path.join(root, "fcos_val.json")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                fcos_metrics = json.load(f)
+        print("[fcos] skipped (reusing ckpt + exported rois)", flush=True)
+    else:
+        ft = FCOSTrainer(fcfg)
+        t1 = time.time()
+        ft.train_loop()
+        fcos_train_s = time.time() - t1
+        val_ds = ft.make_dataset("val")
+        fcos_metrics = ft.eval(val_ds)
+        print("[fcos] val:", json.dumps(fcos_metrics), flush=True)
+        with open(os.path.join(root, "fcos_val.json"), "w") as f:
+            json.dump(fcos_metrics, f)
 
-    # ---- stage 2: export FCOS proposals for ALL scenes -> rois/ ---------
-    # (replaces the generator's jittered stand-ins with real RPN output,
-    # the run_fcos --save_results -> run_rcnn bridge)
-    export_dir = os.path.join(root, "fcos_out")
-    from instance_nerf_tpu.data.datasets import RPNDataset
+        # ---- stage 2: export FCOS proposals for ALL scenes -> rois/ -----
+        # (replaces the generator's jittered stand-ins with real RPN
+        # output, the run_fcos --save_results -> run_rcnn bridge)
+        export_dir = os.path.join(root, "fcos_out")
+        from instance_nerf_tpu.data.datasets import RPNDataset
 
-    all_ds = RPNDataset(  # every scene in features/ (train+val+test)
-        features_path=os.path.join(root, "features"),
-        boxes_path=os.path.join(root, "metadata"),
-    )
-    ft.eval(all_ds, save_results_path=export_dir)
-    rois_dir = os.path.join(root, "rois")
-    shutil.rmtree(rois_dir, ignore_errors=True)
-    shutil.move(os.path.join(export_dir, "proposals"), rois_dir)
-    print(f"[fcos] proposals exported for {len(all_ds)} scenes", flush=True)
+        all_ds = RPNDataset(  # every scene in features/ (train+val+test)
+            features_path=os.path.join(root, "features"),
+            boxes_path=os.path.join(root, "metadata"),
+        )
+        ft.eval(all_ds, save_results_path=export_dir)
+        rois_dir = os.path.join(root, "rois")
+        shutil.rmtree(rois_dir, ignore_errors=True)
+        shutil.move(os.path.join(export_dir, "proposals"), rois_dir)
+        open(marker, "w").close()
+        print(f"[fcos] proposals exported for {len(all_ds)} scenes",
+              flush=True)
+        del ft  # free the preloaded grids before the RCNN stage
 
     # ---- stage 3: RCNN RoI heads on FCOS proposals ----------------------
     from instance_nerf_tpu.train.rcnn_trainer import RCNNConfig, RCNNTrainer
 
+    rcnn_save = os.path.join(root, "rcnn_ckpt")
+    # flaky-link restart: continue from the latest RCNN params if present
+    have_rcnn_ckpt = args.resume and os.path.isdir(rcnn_save) and any(
+        d.startswith("step_") for d in os.listdir(rcnn_save)
+    )
     rcfg = RCNNConfig(
         dataset_root=root,
-        save_path=os.path.join(root, "rcnn_ckpt"),
-        rpn_ckpt=fcos_ckpt,
+        save_path=rcnn_save,
+        rpn_ckpt="" if have_rcnn_ckpt else fcos_ckpt,
+        rcnn_ckpt=rcnn_save if have_rcnn_ckpt else "",
         resolution=args.resolution,
         batch_size=args.batch_size,
         num_epochs=args.rcnn_epochs,
-        eval_interval=max(args.rcnn_epochs // 2, 1),
+        eval_interval=max(args.rcnn_epochs // 5, 1),
         max_gt=16,
         max_rois=128,
         eval_rois=64,
