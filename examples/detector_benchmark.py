@@ -33,7 +33,7 @@ def main(argv=None):
     p.add_argument("--resolution", type=int, default=160)
     p.add_argument("--num_boxes", type=int, default=8)
     p.add_argument("--fcos_epochs", type=int, default=60)
-    p.add_argument("--rcnn_epochs", type=int, default=40)
+    p.add_argument("--rcnn_epochs", type=int, default=12)
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--skip_gen", action="store_true")
