@@ -281,11 +281,14 @@ class SegmentationDataset:
 
     def load_scene(self, index: int):
         if self._cache is not None and index in self._cache:
-            return self._cache[index]
+            # shallow copy: callers may add/replace keys (e.g. augmented
+            # grids) without corrupting the cache across epochs; the
+            # array VALUES are still shared and must not be mutated
+            return dict(self._cache[index])
         d = self._load_scene(index)
         if self._cache is not None:
             self._cache[index] = d
-        return d
+        return dict(d) if self._cache is not None else d
 
     def _load_scene(self, index: int):
         scene = self.scenes[index]

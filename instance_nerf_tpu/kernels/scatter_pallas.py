@@ -39,7 +39,11 @@ def _scatter_kernel(idx_ref, upd_ref, out_ref):
         out_ref[:] = jnp.zeros_like(out_ref)
 
     def body(i, _):
+        # clamp: an out-of-range index must not write out of bounds —
+        # callers pad with index 0 / zero rows, but a corrupt index
+        # lands in row 0/T-1 instead of arbitrary VMEM
         r = idx_ref[i // TILE, i % TILE]
+        r = jnp.clip(r, 0, out_ref.shape[0] - 1)
         out_ref[pl.ds(r, 1), :] += upd_ref[pl.ds(i, 1), :]
         return 0
 

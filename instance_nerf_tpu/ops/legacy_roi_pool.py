@@ -203,7 +203,15 @@ def legacy_roi_pool(
         else:
             # integer crop [floor(lo/scale), floor(hi/scale)] inclusive
             # (detector.py:415-421) — positions are exact lattice points,
-            # where the 8-corner weighting reduces to the identity
+            # where the 8-corner weighting reduces to the identity.
+            # Boundary deviation: the reference crops with a torch slice
+            # FIRST (detector.py:423-428), so ROIs extending past the
+            # feature extent (or with negative floor indices, which wrap
+            # in torch) get a TRUNCATED crop and a correspondingly
+            # smaller pooling kernel; here gs comes from the coordinates
+            # and out-of-extent positions sample zeros instead. Only
+            # interior ROIs (the normal case after enlarge+clip upstream)
+            # match exactly — same caveat class as the >max_grid clamp.
             lo_i = jnp.floor(er[:, :3] / scale)
             hi_i = jnp.floor(er[:, 3:] / scale)
             gs = (hi_i - lo_i + 1).astype(jnp.int32)

@@ -85,8 +85,12 @@ def init_multiscene_params(model, n_scenes: int, rngs=None):
         rngs = jax.random.split(jax.random.key(0), n_scenes)
     xyz0 = jnp.zeros((1, 3))
     vd0 = jnp.asarray([[0.0, 0.0, 1.0]])
-    per = [model.init(rngs[i], xyz0, vd0) for i in range(n_scenes)]
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per)
+    # one vmapped trace instead of n_scenes sequential init traces —
+    # at the ~1k-scene target a python loop costs minutes of pure
+    # tracing on the single-core host
+    return jax.jit(jax.vmap(lambda k: model.init(k, xyz0, vd0)))(
+        jnp.asarray(rngs)
+    )
 
 
 def make_multiscene_ngp_step(

@@ -151,11 +151,13 @@ class MultiSceneFieldTrainer:
         return jax.tree_util.tree_map(lambda x: x[i], self.state.params)
 
     def save(self, path: str, step: int = 0, metrics=None):
-        """Checkpoint the whole fleet (stacked params + occupancy)."""
+        """Checkpoint the whole fleet (stacked params + opt state +
+        occupancy) — resume is bit-exact including adam moments."""
         from instance_nerf_tpu.train.checkpoints import CheckpointManager
 
         mgr = CheckpointManager(path, keep=2)
         mgr.save(step, {"params": self.state.params,
+                        "opt_state": self.state.opt_state,
                         "occ_grids": self.occ_grids},
                  config={"n_scenes": len(self.scenes)},
                  metrics=metrics or {})
@@ -164,8 +166,18 @@ class MultiSceneFieldTrainer:
         from instance_nerf_tpu.train.checkpoints import CheckpointManager
 
         mgr = CheckpointManager(path)
-        tmpl = {"params": self.state.params, "occ_grids": self.occ_grids}
+        tmpl = {"params": self.state.params,
+                "opt_state": self.state.opt_state,
+                "occ_grids": self.occ_grids}
         state, meta = mgr.restore(tmpl)
-        self.state = NGPTrainState(state["params"], self.state.opt_state)
-        self.occ_grids = jnp.asarray(state["occ_grids"])
+        b = len(self.scenes)
+        # re-commit the restored leaves with the dcn x data scene layout
+        # (restore hands back host arrays; without this the first step
+        # after resume would run fully replicated)
+        self.state = shard_multiscene_state(
+            self.mesh, NGPTrainState(state["params"], state["opt_state"]), b
+        )
+        self.occ_grids = jax.device_put(
+            jnp.asarray(state["occ_grids"]), data_sharding(self.mesh)
+        )
         return meta

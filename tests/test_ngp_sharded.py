@@ -106,6 +106,50 @@ def test_multiscene_step_matches_independent_scenes():
         np.testing.assert_allclose(g, w, rtol=2e-3, atol=2e-5)
 
 
+def test_multiscene_save_restore_roundtrip(tmp_path):
+    """Fleet checkpoint resume is bit-exact INCLUDING adam moments
+    (round-2 advisor finding: restore used to silently reset opt_state),
+    and restored leaves are re-committed with the scene sharding."""
+    from instance_nerf_tpu.data.nerf_dataset import make_synthetic_nerf_scene
+    from instance_nerf_tpu.train.multiscene import MultiSceneFieldTrainer
+    from instance_nerf_tpu.train.ngp_trainer import fast_ngp_config
+
+    rng = np.random.default_rng(1)
+    scenes = [make_synthetic_nerf_scene(rng, n_views=2, hw=(16, 16),
+                                        n_blobs=1)[0] for _ in range(4)]
+    cfg = fast_ngp_config(
+        n_rays=32, n_samples=8, k_occupied=4, n_levels=2,
+        table_size=256, dense_res=4, dense_features=2, hidden=8,
+        num_instances=3, occ_res=8, occ_update_every=5, dtype="float32",
+    )
+    tr = MultiSceneFieldTrainer(scenes, cfg, seed=0)
+    tr.train(5, stage="rgb", log_every=10**9)
+    tr.save(str(tmp_path / "fleet"), step=5)
+
+    tr2 = MultiSceneFieldTrainer(scenes, cfg, seed=123)  # different init
+    tr2.restore(str(tmp_path / "fleet"))
+    for a, b in zip(jax.tree_util.tree_leaves(tr.state.params),
+                    jax.tree_util.tree_leaves(tr2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(tr.state.opt_state),
+                    jax.tree_util.tree_leaves(tr2.state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(tr.occ_grids),
+                                  np.asarray(tr2.occ_grids))
+    # restored state carries the dcn x data scene layout, not replication
+    leaf = jax.tree_util.tree_leaves(tr2.state.params)[0]
+    assert not leaf.sharding.is_fully_replicated
+    # and training continues identically from the restored state
+    # (align the ray/key RNGs so both see the same batches)
+    tr.np_rng = np.random.default_rng(11)
+    tr2.np_rng = np.random.default_rng(11)
+    tr.key = jax.random.key(7)
+    tr2.key = jax.random.key(7)
+    m1 = tr.train(3, stage="rgb", log_every=10**9)
+    m2 = tr2.train(3, stage="rgb", log_every=10**9)
+    np.testing.assert_allclose(m1["rgb"], m2["rgb"], rtol=1e-5)
+
+
 def test_multiscene_trainer_end_to_end():
     """MultiSceneFieldTrainer: 4 tiny posed-image scenes advance jointly
     on the CPU mesh; loss drops and per-scene params diverge."""
