@@ -81,3 +81,67 @@ def scatter_add_pallas(
         out_shape=jax.ShapeDtypeStruct((table_rows, w), jnp.float32),
         interpret=interpret,
     )(idx2d, updates)
+
+
+def scatter_add_padded(indices, updates, table_rows: int,
+                       interpret: bool = False) -> jnp.ndarray:
+    """``scatter_add_pallas`` for arbitrary N: pads updates with zero rows
+    (index 0, exact — zero rows contribute nothing) up to ROWS*TILE."""
+    n, w = updates.shape
+    pad = (-n) % (ROWS * TILE)
+    if pad:
+        indices = jnp.concatenate(
+            [indices, jnp.zeros((pad,), indices.dtype)])
+        updates = jnp.concatenate(
+            [updates, jnp.zeros((pad, w), updates.dtype)])
+    return scatter_add_pallas(indices, updates, table_rows,
+                              interpret=interpret)
+
+
+def gather_rows_pallas_grad(table2d: jnp.ndarray, flat_idx: jnp.ndarray,
+                            n_levels: int, trailing: int = 1) -> jnp.ndarray:
+    """``jnp.take(table2d, flat_idx, axis=0)`` whose TABLE gradient runs
+    through the Pallas scatter-add kernel instead of XLA's scatter.
+
+    ``table2d`` is the flattened (L*T, W) multi-level table; the kernel
+    needs each level's (T, W) slab VMEM-resident, so the backward makes
+    one kernel call per level with that level's indices rebased to
+    [0, T). Layout contract: ``flat_idx.reshape(-1, n_levels, trailing)``
+    splits levels cleanly — brick_encode flattens (N, L) (trailing=1),
+    hash_encode flattens (N, L, 8) corner-minor (trailing=8).
+
+    Exactness: identical to ``.at[].add`` up to float summation order
+    (tests assert 1e-5). Off-TPU the kernel runs in interpret mode.
+    """
+    return _gather_rows_pg(table2d, flat_idx, n_levels, trailing)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _gather_rows_pg(table2d, flat_idx, n_levels, trailing):
+    return jnp.take(table2d, flat_idx, axis=0)
+
+
+def _gather_rows_pg_fwd(table2d, flat_idx, n_levels, trailing):
+    out = jnp.take(table2d, flat_idx, axis=0)
+    return out, (flat_idx, table2d.shape)
+
+
+def _gather_rows_pg_bwd(n_levels, trailing, res, d_out):
+    flat_idx, (rows, w) = res
+    L = n_levels
+    T = rows // L
+    interpret = jax.default_backend() != "tpu"
+    per_lvl = flat_idx.reshape(-1, L, trailing)  # (N, L, trailing)
+    d_lvl = d_out.reshape(-1, L, trailing, w)
+    grads = []
+    for l in range(L):
+        idx_l = per_lvl[:, l].reshape(-1) - l * T  # rebase into [0, T)
+        upd_l = d_lvl[:, l].reshape(-1, w)
+        grads.append(
+            scatter_add_padded(idx_l, upd_l, T, interpret=interpret)
+        )
+    d_table = jnp.concatenate(grads, axis=0)  # (L*T, w)
+    return d_table, None
+
+
+_gather_rows_pg.defvjp(_gather_rows_pg_fwd, _gather_rows_pg_bwd)

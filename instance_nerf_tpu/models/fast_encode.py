@@ -83,12 +83,18 @@ def brick_encode(
     xyz: jnp.ndarray,  # (..., 3) in [0, 1]
     resolutions: np.ndarray,  # (L,) static
     chunk: int = 2 ** 16,
+    pallas_grad: bool = False,
 ) -> jnp.ndarray:
     """Brick-hash encoding: ONE gathered row per (point, level) -> (..., L*F).
 
     Level l's grid is offset by (l+1)/(L+1) of a cell so brick seams never
     align across levels. Dense levels (res^3 <= T) index directly (no
     collisions); finer levels hash the cell with the NGP primes.
+
+    ``pallas_grad``: route the table gradient through the Pallas
+    scatter-add kernel (kernels/scatter_pallas.py) instead of XLA's
+    scatter — per-level (T, 8*F) slabs accumulate in VMEM. Exact up to
+    float summation order.
     """
     L, T, C, F = table.shape
     lead = xyz.shape[:-1]
@@ -98,15 +104,16 @@ def brick_encode(
         pad = (-n_all) % chunk
         xp = jnp.pad(x_all, ((0, pad), (0, 0))).reshape(-1, chunk, 3)
         out = jax.lax.map(
-            lambda xc: _brick_encode_block(table, xc, resolutions), xp
+            lambda xc: _brick_encode_block(table, xc, resolutions,
+                                           pallas_grad), xp
         )
         return out.reshape(-1, L * F)[:n_all].reshape(*lead, L * F)
-    return _brick_encode_block(table, x_all, resolutions).reshape(
+    return _brick_encode_block(table, x_all, resolutions, pallas_grad).reshape(
         *lead, L * F
     )
 
 
-def _brick_encode_block(table, x, resolutions):
+def _brick_encode_block(table, x, resolutions, pallas_grad=False):
     L, T, C, F = table.shape
     n = x.shape[0]
     res_np = np.asarray(resolutions, np.int64)
@@ -136,7 +143,16 @@ def _brick_encode_block(table, x, resolutions):
 
     lvl_off = (jnp.arange(L, dtype=jnp.uint32) * jnp.uint32(T))[None]
     flat = (idx + lvl_off).astype(jnp.int32).reshape(-1)  # (N*L,)
-    rows = jnp.take(table.reshape(L * T, C * F), flat, axis=0)  # (N*L, 16)
+    if pallas_grad:
+        from instance_nerf_tpu.kernels.scatter_pallas import (
+            gather_rows_pallas_grad,
+        )
+
+        rows = gather_rows_pallas_grad(
+            table.reshape(L * T, C * F), flat, L
+        )  # (N*L, 16)
+    else:
+        rows = jnp.take(table.reshape(L * T, C * F), flat, axis=0)
 
     # corner weighting in the FLAT (N*L, C*F) layout: the natural
     # (N, L, 8, F) einsum forces tiny-minor-dim (F=2) layouts that cost
@@ -188,6 +204,7 @@ class InstanceNGPFast(nn.Module):
     hidden: int = 64
     num_instances: int = 33
     dtype: jnp.dtype | None = None
+    pallas_grad: bool = False  # brick-table grads via the Pallas kernel
 
     def setup(self):
         self.resolutions = brick_resolutions(
@@ -220,7 +237,8 @@ class InstanceNGPFast(nn.Module):
     def encode(self, xyz):
         parts = [
             dense_trilinear(self.dense_grid, xyz),
-            brick_encode(self.table, xyz, self.resolutions),
+            brick_encode(self.table, xyz, self.resolutions,
+                         pallas_grad=self.pallas_grad),
             pe_encode(xyz, self.pe_freqs),
         ]
         return jnp.concatenate(parts, axis=-1)

@@ -39,6 +39,7 @@ def hash_encode(
     xyz: jnp.ndarray,  # (..., 3) in [0, 1]
     resolutions: np.ndarray,  # (L,) int
     chunk: int = 2 ** 16,
+    pallas_grad: bool = False,
 ) -> jnp.ndarray:
     """Trilinear multiresolution hash encoding -> (..., L*F).
 
@@ -60,13 +61,15 @@ def hash_encode(
         xp = jnp.pad(x_all, ((0, pad), (0, 0)))
         xp = xp.reshape(-1, chunk, 3)
         out = jax.lax.map(
-            lambda xc: _hash_encode_block(table, xc, resolutions), xp
+            lambda xc: _hash_encode_block(table, xc, resolutions,
+                                          pallas_grad), xp
         )
         return out.reshape(-1, L * F)[:n_all].reshape(*lead, L * F)
-    return _hash_encode_block(table, x_all, resolutions).reshape(*lead, L * F)
+    return _hash_encode_block(table, x_all, resolutions, pallas_grad).reshape(
+        *lead, L * F)
 
 
-def _hash_encode_block(table, x, resolutions):
+def _hash_encode_block(table, x, resolutions, pallas_grad=False):
     L, T, F = table.shape
     n = x.shape[0]
 
@@ -96,7 +99,17 @@ def _hash_encode_block(table, x, resolutions):
     # flat gather from (L*T, F)
     lvl_off = (jnp.arange(L, dtype=jnp.uint32) * jnp.uint32(T))[None, :, None]
     flat_idx = (idx + lvl_off).astype(jnp.int32).reshape(-1)
-    gathered = jnp.take(table.reshape(L * T, F), flat_idx, axis=0)
+    if pallas_grad:
+        from instance_nerf_tpu.kernels.scatter_pallas import (
+            gather_rows_pallas_grad,
+        )
+
+        # (N, L, 8) flat layout: levels split at trailing=8 (corners)
+        gathered = gather_rows_pallas_grad(
+            table.reshape(L * T, F), flat_idx, L, trailing=8
+        )
+    else:
+        gathered = jnp.take(table.reshape(L * T, F), flat_idx, axis=0)
     # weighting in the gather's own flat (N*L, 8*F) layout — the
     # (N, L, 8, F) einsum forces tiny-minor-dim layouts that cost ~10 ms
     # of transposes at 131k pts (measured; see models/fast_encode.py)
@@ -156,6 +169,7 @@ class InstanceNGP(nn.Module):
     hidden: int = 64
     num_instances: int = 33
     dtype: jnp.dtype | None = None
+    pallas_grad: bool = False  # hash-table grads via the Pallas kernel
 
     def setup(self):
         self.resolutions = ngp_resolutions(self.n_levels, self.base_res, self.max_res)
@@ -179,7 +193,8 @@ class InstanceNGP(nn.Module):
         ]
 
     def encode(self, xyz):
-        return hash_encode(self.table, xyz, self.resolutions)
+        return hash_encode(self.table, xyz, self.resolutions,
+                           pallas_grad=self.pallas_grad)
 
     def query(self, xyz):
         """(..., 3) -> (sigma_raw (...,), geo (..., geo_feat_dim))."""

@@ -121,3 +121,31 @@ def make_fcos_train_step(
         in_shardings=(rep, gs, ds, ds, ds),
         out_shardings=(rep, rep),
     )
+
+
+def make_rcnn_train_step(model, tx, cfg, mesh, mask_slots: int | None = None):
+    """Sharded RoI-head train step — the reference trains RCNN with DDP
+    over 4 GPUs, bs 16 (run_rcnn.py:755-826 ``mp.spawn`` + NCCL +
+    DistributedSampler); here the scene batch shards over ``dcn x data``
+    and GSPMD inserts the gradient all-reduce. Params (incl. the frozen
+    backbone) replicate; the RoIAlign gathers stay local because grids
+    shard only on the batch axis (the reference's DDP semantic — no
+    spatial partitioning of the feature volume inside the RoI heads).
+
+    Returns jitted ``step(params, opt_state, key, grids, grid_sizes,
+    rois, roi_valid, gt_boxes, gt_labels, gt_mask, gt_vmasks) ->
+    (params, opt_state, metrics)`` — the same signature the single-device
+    trainer jits, so grad parity is testable leaf-for-leaf.
+    """
+    from instance_nerf_tpu.train.rcnn_trainer import make_rcnn_step_fn
+
+    if mask_slots is None:
+        mask_slots = int(cfg.batch_size_per_image * cfg.positive_fraction)
+    step = make_rcnn_step_fn(model, tx, cfg, mask_slots)
+    ds = data_sharding(mesh)
+    rep = replicated(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(rep, rep, rep) + (ds,) * 8,
+        out_shardings=(rep, rep, rep),
+    )

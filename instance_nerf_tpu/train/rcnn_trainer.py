@@ -79,6 +79,63 @@ class RCNNConfig:
     cache_scenes: bool = False
 
 
+def make_rcnn_step_fn(model, tx, cfg, mask_slots: int):
+    """Raw (traceable) RoI-head train step — shared by the single-device
+    trainer (jax.jit) and the sharded SPMD wrapper
+    (parallel/train_step.make_rcnn_train_step). Mirrors the reference's
+    RCNN update (run_rcnn.py:505-560: sample -> heads -> cls+box+mask
+    losses -> clipped AdamW with the backbone frozen)."""
+    m = mask_slots
+
+    def step(params, opt_state, key, grids, grid_sizes, rois, roi_valid,
+             gt_boxes, gt_labels, gt_mask, gt_vmasks):
+        k_sample, _ = jax.random.split(key)
+        s = select_training_samples(
+            k_sample, rois, roi_valid, gt_boxes, gt_labels, gt_mask,
+            batch_size_per_image=cfg.batch_size_per_image,
+            positive_fraction=cfg.positive_fraction,
+            fg_iou_thresh=cfg.fg_iou_thresh,
+            bg_iou_thresh=cfg.bg_iou_thresh,
+        )
+
+        def pack_one(rois_i, pos_i, labels_i, midx_i):
+            # positives first (stable) into the fixed mask slots
+            order = jnp.argsort(~pos_i, stable=True)[:m]
+            return rois_i[order], labels_i[order], midx_i[order], pos_i[order]
+
+        mrois, mlab, mmidx, mpos = jax.vmap(pack_one)(
+            s.rois, s.pos, s.labels, s.matched_gt_idx
+        )
+
+        def loss_fn(p):
+            feats, logits, deltas = model.apply(p, grids, s.rois)
+            cls_loss, box_loss = fastrcnn_loss(
+                logits, deltas, s.labels, s.reg_targets, s.valid
+            )
+            mlogits = model.apply(
+                p, feats, mrois, method=NeRF_RCNN.mask_forward
+            )
+            mloss = jnp.mean(
+                jax.vmap(maskrcnn_loss)(mlogits, mrois, gt_vmasks, mlab,
+                                        mmidx, mpos)
+            )
+            total = cls_loss + box_loss + mloss
+            return total, {
+                "loss_classifier": cls_loss,
+                "loss_box_reg": box_loss,
+                "loss_mask": mloss,
+                "total": total,
+                "num_pos": jnp.sum(s.pos),
+            }
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    return step
+
+
 class RCNNTrainer:
     def __init__(self, cfg: RCNNConfig):
         self.cfg = cfg
@@ -146,63 +203,8 @@ class RCNNTrainer:
     # -- train ----------------------------------------------------------------
 
     def _make_step(self, jit_step: bool = True):
-        cfg = self.cfg
-
-        def step(params, opt_state, key, grids, grid_sizes, rois, roi_valid,
-                 gt_boxes, gt_labels, gt_mask, gt_vmasks):
-            k_sample, _ = jax.random.split(key)
-            s = select_training_samples(
-                k_sample, rois, roi_valid, gt_boxes, gt_labels, gt_mask,
-                batch_size_per_image=cfg.batch_size_per_image,
-                positive_fraction=cfg.positive_fraction,
-                fg_iou_thresh=cfg.fg_iou_thresh,
-                bg_iou_thresh=cfg.bg_iou_thresh,
-            )
-            m = self.mask_slots
-
-            def pack_pos(x, pos):
-                order = jnp.argsort(~pos, stable=True)
-                return x[order[:m]], pos[order[:m]]
-
-            def loss_fn(p):
-                feats, logits, deltas = self.model.apply(p, grids, s.rois)
-                cls_loss, box_loss = fastrcnn_loss(
-                    logits, deltas, s.labels, s.reg_targets, s.valid
-                )
-                # mask branch on packed positive slots
-                mask_rois = []
-                mask_meta = []
-                for i in range(grids.shape[0]):
-                    idx = jnp.argsort(~s.pos[i], stable=True)[:m]
-                    mask_rois.append(s.rois[i][idx])
-                    mask_meta.append(
-                        (s.labels[i][idx], s.matched_gt_idx[i][idx], s.pos[i][idx])
-                    )
-                mrois = jnp.stack(mask_rois)
-                mlogits = self.model.apply(
-                    p, feats, mrois, method=NeRF_RCNN.mask_forward
-                )
-                mloss = 0.0
-                for i in range(grids.shape[0]):
-                    lab, midx, pos = mask_meta[i]
-                    mloss = mloss + maskrcnn_loss(
-                        mlogits[i], mrois[i], gt_vmasks[i], lab, midx, pos
-                    )
-                mloss = mloss / grids.shape[0]
-                total = cls_loss + box_loss + mloss
-                return total, {
-                    "loss_classifier": cls_loss,
-                    "loss_box_reg": box_loss,
-                    "loss_mask": mloss,
-                    "total": total,
-                    "num_pos": jnp.sum(s.pos),
-                }
-
-            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            updates, opt_state = self.tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, metrics
-
+        step = make_rcnn_step_fn(self.model, self.tx, self.cfg,
+                                 self.mask_slots)
         return jax.jit(step) if jit_step else step
 
     def train_loop(self):

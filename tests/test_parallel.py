@@ -84,3 +84,74 @@ def test_prefetch_loader_propagates_errors():
     loader = PrefetchLoader(bad, 5)
     with pytest.raises(ValueError):
         list(loader)
+
+
+def test_rcnn_sharded_step_matches_single_device():
+    """The SPMD RoI-head step (batch over dcn x data, params replicated)
+    produces the same update as the single-device jit — the DDP-parity
+    property (ref run_rcnn.py:755-826 trains RCNN with DDP over 4 GPUs)."""
+    import optax
+
+    from instance_nerf_tpu.models import rcnn as RC
+    from instance_nerf_tpu.models.backbones import VGG_FPN
+    from instance_nerf_tpu.parallel.mesh import data_sharding, replicated
+    from instance_nerf_tpu.parallel.train_step import make_rcnn_train_step
+    from instance_nerf_tpu.train.rcnn_trainer import (
+        RCNNConfig,
+        make_rcnn_step_fn,
+    )
+    from instance_nerf_tpu.train.train_utils import partition_optimizer
+
+    cfg = RCNNConfig(batch_size_per_image=16, num_classes=4)
+    model = RC.NeRF_RCNN(
+        backbone=VGG_FPN(cfg="AF", input_size=160),
+        num_classes=4,
+        input_shape=(32, 32, 32),
+    )
+    b, p, k, g = 4, 8, 2, 32
+    rng = np.random.default_rng(0)
+    grids = jnp.asarray(rng.uniform(0, 1, (b, g, g, g, 4)), jnp.float32)
+    sizes = jnp.full((b, 3), float(g))
+    lo = rng.uniform(0, g * 0.5, (b, p, 3))
+    hi = lo + rng.uniform(4, g * 0.4, (b, p, 3))
+    rois = jnp.asarray(np.concatenate([lo, np.minimum(hi, g)], -1), jnp.float32)
+    glo = rng.uniform(0, g * 0.5, (b, k, 3))
+    ghi = glo + rng.uniform(4, g * 0.4, (b, k, 3))
+    gt = jnp.asarray(np.concatenate([glo, np.minimum(ghi, g)], -1), jnp.float32)
+    gt_labels = jnp.asarray(rng.integers(1, 4, (b, k)), jnp.int32)
+    gt_mask = jnp.ones((b, k), bool)
+    roi_valid = jnp.ones((b, p), bool)
+    vmasks = jnp.asarray(rng.uniform(0, 1, (b, k, g, g, g)) < 0.2, jnp.uint8)
+
+    params = model.init(jax.random.key(0), grids[:1], rois[:1, :2],
+                        with_masks=True)
+    tx = partition_optimizer(
+        optax.chain(optax.clip_by_global_norm(0.1), optax.adamw(1e-3)),
+        params, frozen_prefixes=("backbone",),
+    )
+    opt_state = tx.init(params)
+    mask_slots = 4
+    args = (jax.random.key(7), grids, sizes, rois, roi_valid, gt, gt_labels,
+            gt_mask, vmasks)
+
+    p1, o1, m1 = jax.jit(make_rcnn_step_fn(model, tx, cfg, mask_slots))(
+        params, opt_state, *args)
+
+    mesh = make_mesh(n_data=2, n_spatial=2, n_dcn=2)
+    step = make_rcnn_train_step(model, tx, cfg, mesh, mask_slots=mask_slots)
+    with mesh:
+        ds = data_sharding(mesh)
+        rep = replicated(mesh)
+        sharded = [jax.device_put(x, ds) for x in args[1:]]
+        p2, o2, m2 = step(jax.device_put(params, rep),
+                          jax.device_put(opt_state, rep), args[0], *sharded)
+
+    np.testing.assert_allclose(float(m1["total"]), float(m2["total"]),
+                               rtol=1e-5)
+    assert int(m1["num_pos"]) == int(m2["num_pos"])
+    for a, c in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        # grads cross the device all-reduce in a different summation
+        # order; adam's rsqrt amplifies near-zero elements
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=2e-3, atol=1e-4)
