@@ -36,6 +36,8 @@ def main(argv=None):
     p.add_argument("--stage", default="instance", choices=["rgb", "instance", "render"])
     p.add_argument("--occupancy", type=float, default=1.0,
                    help="fraction of occupancy cells set occupied")
+    p.add_argument("--occ_coarse_res", type=int, default=0,
+                   help="two-stage occupancy: MXU coarse selection res")
     args = p.parse_args(argv)
 
     import jax
@@ -55,11 +57,13 @@ def main(argv=None):
         cfg = fast_ngp_config(
             n_rays=args.n_rays, n_samples=args.n_samples,
             k_occupied=args.k_occupied or None,
+            occ_coarse_res=args.occ_coarse_res or None,
         )
     else:
         cfg = NGPConfig(
             n_rays=args.n_rays, n_samples=args.n_samples,
             k_occupied=args.k_occupied or None, dtype="bfloat16",
+            occ_coarse_res=args.occ_coarse_res or None,
         )
     trainer = InstanceFieldTrainer(cfg)
 
@@ -90,6 +94,7 @@ def main(argv=None):
                 occ=OccupancyGrid(occ_grid, cfg.occ_threshold),
                 stratified=False, with_instance=True,
                 k_occupied=cfg.k_occupied,
+                occ_coarse_res=cfg.occ_coarse_res,
             )
             return out.rgb
 

@@ -43,6 +43,14 @@ def main(argv=None):
     p.add_argument("--skip_fcos", action="store_true",
                    help="reuse existing FCOS ckpt + exported rois/; jump "
                         "straight to the RCNN stage")
+    p.add_argument("--rcnn_steps_per_call", type=int, default=8,
+                   help="RCNN updates per dispatch (lax.scan)")
+    p.add_argument("--unfreeze_backbone", action="store_true",
+                   help="fine-tune the backbone during RCNN training "
+                        "(deviates from run_rcnn.py:403-427 freezing; "
+                        "lets color features survive the objectness-"
+                        "trained backbone)")
+    p.add_argument("--rcnn_lr", type=float, default=1e-3)
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,
@@ -150,6 +158,9 @@ def main(argv=None):
         eval_rois=64,
         cache_scenes=True,
         seed=args.seed,
+        steps_per_call=args.rcnn_steps_per_call,
+        freeze_backbone=not args.unfreeze_backbone,
+        lr=args.rcnn_lr,
     )
     rt = RCNNTrainer(rcfg)
     t2 = time.time()
@@ -170,6 +181,7 @@ def main(argv=None):
             "fcos_epochs": args.fcos_epochs,
             "rcnn_epochs": args.rcnn_epochs,
             "batch_size": args.batch_size,
+            "unfreeze_backbone": args.unfreeze_backbone,
         },
         "fcos_val": fcos_metrics,
         "rcnn_val": rcnn_metrics,

@@ -48,6 +48,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--iou_loss_type", default="iou",
                    choices=["iou", "linear_iou", "giou", "diou", "smooth_l1"])
     p.add_argument("--use_additional_l1_loss", action="store_true")
+    p.add_argument("--steps_per_call", type=int, default=1,
+                   help="updates per device dispatch (lax.scan)")
     p.add_argument("--conv_at_start", action="store_true")
     p.add_argument("--pre_nms_top_n", type=int, default=2500)
     p.add_argument("--fpn_post_nms_top_n", type=int, default=2500)

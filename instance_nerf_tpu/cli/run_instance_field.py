@@ -51,6 +51,8 @@ def build_parser():
                    help="feature-grid resolution for extract_features")
     p.add_argument("--out_features", default="")
     p.add_argument("--log_every", type=int, default=100)
+    p.add_argument("--steps_per_call", type=int, default=0,
+                   help="updates per device dispatch (0 = occ cadence)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -118,7 +120,8 @@ def main(argv=None):
         )
         stage = "rgb" if args.mode == "train" else "instance"
         metrics = trainer.train(scene, args.steps, stage=stage,
-                                log_every=args.log_every)
+                                log_every=args.log_every,
+                                steps_per_call=args.steps_per_call or None)
         print(json.dumps(metrics))
         if args.save_path:
             save_state(trainer, args.save_path, args, metrics)

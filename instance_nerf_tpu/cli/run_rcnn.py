@@ -47,6 +47,8 @@ def build_parser():
     p.add_argument("--eval_rois", type=int, default=20)
     p.add_argument("--max_gt", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--steps_per_call", type=int, default=1,
+                   help="updates per device dispatch (lax.scan)")
     return p
 
 
@@ -71,6 +73,7 @@ def config_from_args(args):
         log_interval=args.log_interval,
         eval_interval=args.eval_interval,
         keep_checkpoints=args.keep_checkpoints,
+        steps_per_call=args.steps_per_call,
         freeze_backbone=not args.no_freeze_backbone,
         batch_size_per_image=args.batch_size_per_image,
         positive_fraction=args.positive_fraction,

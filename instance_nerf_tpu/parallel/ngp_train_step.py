@@ -31,6 +31,7 @@ def make_sharded_ngp_step(
     occ_threshold: float = 0.01,
     stage: str = "rgb",
     instance_fg_weight: float = 5.0,
+    occ_coarse_res: int | None = None,
 ):
     """Returns jitted ``step(state, occ_grid, key, o, d, rgb, inst) ->
     (state, metrics)`` with ray arrays sharded over ``data``."""
@@ -44,6 +45,7 @@ def make_sharded_ngp_step(
                 n_samples=n_samples, occ=occ,
                 with_instance=stage != "rgb",
                 k_occupied=k_occupied,
+                occ_coarse_res=occ_coarse_res,
             )
             rgb_loss = jnp.mean((out.rgb - target_rgb) ** 2)
             total = rgb_loss if stage != "instance" else 0.0
@@ -102,6 +104,7 @@ def make_multiscene_ngp_step(
     occ_threshold: float = 0.01,
     stage: str = "rgb",
     instance_fg_weight: float = 5.0,
+    occ_coarse_res: int | None = None,
 ):
     """Batched MULTI-SCENE instance-field training (BASELINE config #5:
     "~1k scenes over a mesh"): every scene carries its own field
@@ -130,6 +133,7 @@ def make_multiscene_ngp_step(
             n_samples=n_samples, occ=occ,
             with_instance=stage != "rgb",
             k_occupied=k_occupied,
+            occ_coarse_res=occ_coarse_res,
         )
         rgb_loss = jnp.mean((out.rgb - target_rgb) ** 2)
         total = rgb_loss if stage != "instance" else 0.0

@@ -123,6 +123,44 @@ def make_fcos_train_step(
     )
 
 
+def make_fcos_scan_step(
+    model, tx, n_steps: int, mesh=None, **step_kwargs
+):
+    """K FCOS updates per dispatch under ``lax.scan`` over stacked
+    batches (K, B, ...). Through the axon tunnel each dispatch costs
+    ~1.3 s of host overhead (BENCH_NOTES.md) — the scan amortizes it
+    K-fold; on a pod host it likewise hides per-step launch latency.
+    Metrics returned are the LAST step's (matching the per-step loop's
+    logging semantics).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from instance_nerf_tpu.parallel.mesh import DATA_AXES
+
+    step = make_fcos_train_step(model, tx, mesh=None, jit_step=False,
+                                **step_kwargs)
+
+    def scan_steps(state, grids, grid_sizes, gt_boxes, gt_mask):
+        def body(st, xs):
+            return step(st, *xs)
+
+        state, ms = jax.lax.scan(
+            body, state, (grids, grid_sizes, gt_boxes, gt_mask),
+            length=n_steps)
+        return state, jax.tree.map(lambda x: x[-1], ms)
+
+    if mesh is None:
+        return jax.jit(scan_steps)
+    gs = NamedSharding(mesh, P(None, DATA_AXES, "sp", None, None, None))
+    ds = NamedSharding(mesh, P(None, DATA_AXES))
+    rep = replicated(mesh)
+    return jax.jit(
+        scan_steps,
+        in_shardings=(rep, gs, ds, ds, ds),
+        out_shardings=(rep, rep),
+    )
+
+
 def make_rcnn_train_step(model, tx, cfg, mesh, mask_slots: int | None = None):
     """Sharded RoI-head train step — the reference trains RCNN with DDP
     over 4 GPUs, bs 16 (run_rcnn.py:755-826 ``mp.spawn`` + NCCL +
@@ -146,6 +184,45 @@ def make_rcnn_train_step(model, tx, cfg, mesh, mask_slots: int | None = None):
     rep = replicated(mesh)
     return jax.jit(
         step,
+        in_shardings=(rep, rep, rep) + (ds,) * 8,
+        out_shardings=(rep, rep, rep),
+    )
+
+
+def make_rcnn_scan_step(model, tx, cfg, n_steps: int, mesh=None,
+                        mask_slots: int | None = None):
+    """K RoI-head updates per dispatch (lax.scan over stacked (K, B, ...)
+    batches); same amortization rationale as ``make_fcos_scan_step``.
+    ``step(params, opt_state, key, *stacked8) -> (params, opt_state,
+    last_metrics)`` — the key is split per scanned step."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from instance_nerf_tpu.parallel.mesh import DATA_AXES
+    from instance_nerf_tpu.train.rcnn_trainer import make_rcnn_step_fn
+
+    if mask_slots is None:
+        mask_slots = int(cfg.batch_size_per_image * cfg.positive_fraction)
+    step = make_rcnn_step_fn(model, tx, cfg, mask_slots)
+
+    def scan_steps(params, opt_state, key, *stacked):
+        keys = jax.random.split(key, n_steps)
+
+        def body(carry, xs):
+            params, opt_state = carry
+            k, *args = xs
+            params, opt_state, metrics = step(params, opt_state, k, *args)
+            return (params, opt_state), metrics
+
+        (params, opt_state), ms = jax.lax.scan(
+            body, (params, opt_state), (keys, *stacked), length=n_steps)
+        return params, opt_state, jax.tree.map(lambda x: x[-1], ms)
+
+    if mesh is None:
+        return jax.jit(scan_steps)
+    ds = NamedSharding(mesh, P(None, DATA_AXES))
+    rep = replicated(mesh)
+    return jax.jit(
+        scan_steps,
         in_shardings=(rep, rep, rep) + (ds,) * 8,
         out_shardings=(rep, rep, rep),
     )

@@ -93,6 +93,9 @@ class FCOSConfig:
     # rematerialize the backbone forward in backward (activation memory
     # for FLOPs; needed for batch 4 x 160^3 on one v5e chip)
     remat: bool = False
+    # updates dispatched per device call (lax.scan); >1 amortizes the
+    # ~1.3 s/dispatch axon-tunnel host overhead (BENCH_NOTES.md)
+    steps_per_call: int = 1
     fpn_strides: tuple = (4, 8, 16, 32)
     seed: int = 0
     # hold decoded grids in host RAM (one decompress per scene instead of
@@ -204,44 +207,72 @@ class FCOSTrainer:
                               cfg.num_epochs)
             log.info("resumed at step %s (epoch %d)", meta.get("step"), start_epoch)
 
-        step_fn = make_fcos_train_step(
-            self.model,
-            self.tx,
-            mesh=self.mesh,
+        step_kw = dict(
             reg_loss_weight=cfg.reg_loss_weight,
             center_sampling_radius=cfg.center_sampling_radius,
             iou_loss_type=cfg.iou_loss_type,
             use_obb=cfg.rotated_bbox,
             remat=cfg.remat,
         )
+        spc = max(1, cfg.steps_per_call)
+        if spc > 1:
+            from instance_nerf_tpu.parallel.train_step import (
+                make_fcos_scan_step,
+            )
+
+            scan_fn = make_fcos_scan_step(
+                self.model, self.tx, spc, mesh=self.mesh, **step_kw)
+        step_fn = make_fcos_train_step(
+            self.model, self.tx, mesh=self.mesh, **step_kw)
+
+        def load_batch(idx, order):
+            if len(idx) < cfg.batch_size:  # pad the last partial batch
+                idx = np.concatenate([idx, order[: cfg.batch_size - len(idx)]])
+            return train_ds.batch(
+                idx, self._pad_shape, max_gt=cfg.max_gt,
+                box_dim=7 if cfg.rotated_bbox else 6, augment=True,
+            )
 
         rng = np.random.default_rng(cfg.seed)
         gstep = start_epoch * steps_per_epoch
         for epoch in range(start_epoch, cfg.num_epochs):
             order = rng.permutation(len(train_ds))
             t0 = time.time()
-            for s in range(steps_per_epoch):
-                idx = order[s * cfg.batch_size : (s + 1) * cfg.batch_size]
-                if len(idx) < cfg.batch_size:  # pad the last partial batch
-                    idx = np.concatenate([idx, order[: cfg.batch_size - len(idx)]])
-                batch = train_ds.batch(
-                    idx, self._pad_shape, max_gt=cfg.max_gt,
-                    box_dim=7 if cfg.rotated_bbox else 6, augment=True,
-                )
+            s = 0
+            while s < steps_per_epoch:
+                k = min(spc, steps_per_epoch - s)
+                batches = [
+                    load_batch(
+                        order[(s + j) * cfg.batch_size:
+                              (s + j + 1) * cfg.batch_size], order)
+                    for j in range(k)
+                ]
                 with self.mesh:
-                    args = shard_batch(
-                        self.mesh,
-                        (batch.grids, batch.grid_sizes, batch.gt_boxes, batch.gt_mask),
-                    )
-                    self.state, metrics = step_fn(self.state, *args)
-                gstep += 1
-                if gstep % cfg.log_interval == 0:
-                    m = {k: float(v) for k, v in metrics.items()}
+                    if k == spc and spc > 1:
+                        # host arrays go straight to the jitted scan —
+                        # its in_shardings place the (K, B, ...) stack
+                        # (shard_batch would misread K as the batch dim)
+                        stacked = tuple(
+                            np.stack([getattr(b, f) for b in batches])
+                            for f in ("grids", "grid_sizes", "gt_boxes",
+                                      "gt_mask"))
+                        self.state, metrics = scan_fn(self.state, *stacked)
+                    else:
+                        for b in batches:
+                            args = shard_batch(
+                                self.mesh,
+                                (b.grids, b.grid_sizes, b.gt_boxes,
+                                 b.gt_mask))
+                            self.state, metrics = step_fn(self.state, *args)
+                gstep += k
+                s += k
+                if gstep % cfg.log_interval < k:
+                    m = {kk: float(v) for kk, v in metrics.items()}
                     log.info(
                         "epoch %d step %d: total=%.4f cls=%.4f reg=%.4f ctr=%.4f (%.2fs/it)",
                         epoch, gstep, m["total"], m["loss_cls"],
                         m["loss_reg"], m["loss_centerness"],
-                        (time.time() - t0) / (s + 1),
+                        (time.time() - t0) / max(s, 1),
                     )
 
             if val_ds and (epoch + 1) % cfg.eval_interval == 0:

@@ -75,6 +75,40 @@ class MultiSceneFieldTrainer:
         self._sigma_all = jax.jit(jax.vmap(
             lambda p, x: proto._sigma_query(p, x)
         ))
+        self._build_ray_index()
+
+    def _build_ray_index(self):
+        """Concatenated cross-scene pixel/pose stores for the VECTORIZED
+        per-step ray batch: one fancy-indexing gather + one einsum over
+        (B, R) replaces the per-scene python loop (which scales linearly
+        with the fleet size — the round-2 host bottleneck at 6.5k
+        aggregate rays/s). Scenes may have different view counts; pixel
+        grids (H, W) must match."""
+        hw0 = self.scenes[0].hw
+        assert all(tuple(s.hw) == tuple(hw0) for s in self.scenes), (
+            "multi-scene fleet requires a common image resolution"
+        )
+        self._hw = hw0
+        hwprod = hw0[0] * hw0[1]
+        self._intr = np.stack([
+            np.asarray(s.intrinsics, np.float32) for s in self.scenes
+        ])  # (B, 4)
+        self._nview = np.asarray([s.num_views for s in self.scenes])
+        self._pose_off = np.concatenate(
+            [[0], np.cumsum(self._nview)[:-1]]).astype(np.int64)
+        self._poses_all = np.concatenate(
+            [np.asarray(s.poses, np.float32) for s in self.scenes])
+        self._pix_off = self._pose_off * hwprod
+        self._rgb_all = np.concatenate([
+            np.asarray(s.images, np.float32).reshape(-1, 3)
+            for s in self.scenes
+        ])
+        if all(s.masks is not None for s in self.scenes):
+            self._inst_all = np.concatenate([
+                np.asarray(s.masks).reshape(-1) for s in self.scenes
+            ]).astype(np.int32)
+        else:
+            self._inst_all = None
 
     def _step_fn(self, stage):
         if stage not in self._steps:
@@ -85,30 +119,41 @@ class MultiSceneFieldTrainer:
                 occ_threshold=self.cfg.occ_threshold,
                 stage=stage,
                 instance_fg_weight=self.cfg.instance_fg_weight,
+                occ_coarse_res=self.cfg.occ_coarse_res,
             )
         return self._steps[stage]
 
     def _batch(self):
-        """(B, R, ...) host ray batch across all scenes."""
+        """(B, R, ...) host ray batch across all scenes — fully
+        vectorized (no per-scene python loop; see _build_ray_index)."""
         cfg = self.cfg
         b = len(self.scenes)
-        o = np.zeros((b, cfg.n_rays, 3), np.float32)
-        d = np.zeros((b, cfg.n_rays, 3), np.float32)
-        rgb = np.zeros((b, cfg.n_rays, 3), np.float32)
-        inst = np.zeros((b, cfg.n_rays), np.int32)
-        from instance_nerf_tpu.train.ngp_trainer import rays_multi
-
-        for i, scene in enumerate(self.scenes):
-            v, pix, c, m = scene.ray_batch(self.np_rng, cfg.n_rays)
-            oi, di = rays_multi(jnp.asarray(scene.poses), v, pix, scene)
-            o[i], d[i] = np.asarray(oi), np.asarray(di)
-            rgb[i] = c
-            if m is not None:
-                inst[i] = m
+        r = cfg.n_rays
+        h, w = self._hw
+        v = (self.np_rng.random((b, r)) * self._nview[:, None]).astype(
+            np.int64)
+        pix = self.np_rng.integers(0, h * w, (b, r))
+        c2w = self._poses_all[self._pose_off[:, None] + v]  # (B, R, 4, 4)
+        lin = self._pix_off[:, None] + v * (h * w) + pix
+        rgb = self._rgb_all[lin]
+        inst = (self._inst_all[lin] if self._inst_all is not None
+                else np.zeros((b, r), np.int32))
+        fx, fy = self._intr[:, 0, None], self._intr[:, 1, None]
+        cx, cy = self._intr[:, 2, None], self._intr[:, 3, None]
+        py_ = (pix // w).astype(np.float32) + 0.5
+        px_ = (pix % w).astype(np.float32) + 0.5
+        dirs = np.stack(
+            [(px_ - cx) / fx, -(py_ - cy) / fy, -np.ones_like(px_)],
+            axis=-1)
+        d = np.einsum("brij,brj->bri", c2w[..., :3, :3], dirs)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        o = np.ascontiguousarray(c2w[..., :3, 3])
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         ray_sh = NamedSharding(self.mesh, P(("dcn", "data"), "sp"))
-        return [jax.device_put(x, ray_sh) for x in (o, d, rgb, inst)]
+        return [jax.device_put(x.astype(np.float32) if x.dtype != np.int32
+                               else x, ray_sh)
+                for x in (o, d, rgb, inst)]
 
     def train(self, steps: int, stage: str = "rgb", log_every: int = 100,
               log=print):
@@ -124,7 +169,7 @@ class MultiSceneFieldTrainer:
                                            *args)
             if (i + 1) % cfg.occ_update_every == 0 and stage != "instance":
                 self._update_occupancy()
-            if (i + 1) % log_every == 0:
+            if log_every and (i + 1) % log_every == 0:
                 m = {k: float(v) for k, v in last.items()}
                 rate = len(self.scenes) * cfg.n_rays * (i + 1) / (time.time() - t0)
                 log(f"[ms-{stage}] step {i+1}: " +

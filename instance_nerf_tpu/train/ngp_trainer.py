@@ -57,6 +57,9 @@ class NGPConfig:
     # fixed-K occupancy compaction: of n_samples dense candidates, only
     # the first K occupied per ray are queried (None = query all)
     k_occupied: int | None = None
+    # two-stage occupancy: coarse MXU selection + fine mask on the K
+    # compacted samples (render.py:coarse_occupancy_mxu); None = exact
+    occ_coarse_res: int | None = None
 
 
 def rays_multi(poses, views, pix, scene):
@@ -155,6 +158,7 @@ class InstanceFieldTrainer:
                     n_samples=cfg.n_samples, occ=occ,
                     with_instance=stage != "rgb",
                     k_occupied=cfg.k_occupied,
+                    occ_coarse_res=cfg.occ_coarse_res,
                 )
                 losses = {}
                 rgb_loss = jnp.mean((out.rgb - target_rgb) ** 2)
@@ -186,37 +190,108 @@ class InstanceFieldTrainer:
             self._step_fns[stage] = self._make_step(stage)
         return self._step_fns[stage]
 
+    def _make_scan_step(self, stage: str, n_steps: int, intrinsics, hw):
+        """K steps per dispatch under ``lax.scan`` — through the axon
+        tunnel each host dispatch costs ~1.3 s, which dominates any real
+        train loop stepped one update per call (BENCH_NOTES.md). Ray
+        generation (pose gather + direction math) moves inside the
+        scanned body so the host only stacks view/pixel ids per chunk.
+        """
+        cfg = self.cfg
+        step = self._step_fn(stage)
+        fx, fy, cx, cy = intrinsics
+        h, w = hw
+
+        @jax.jit
+        def scan_steps(params, opt_state, occ_grid, key, poses, views, pix,
+                       rgbs, insts):
+            def body(carry, xs):
+                params, opt_state, key = carry
+                v, px, rgb, inst = xs
+                key, sk = jax.random.split(key)
+                c2w = poses[v]  # (R, 4, 4)
+                py_ = (px // w).astype(jnp.float32) + 0.5
+                px_ = (px % w).astype(jnp.float32) + 0.5
+                dirs = jnp.stack(
+                    [(px_ - cx) / fx, -(py_ - cy) / fy,
+                     -jnp.ones_like(px_)], axis=-1)
+                d = jnp.einsum("rij,rj->ri", c2w[:, :3, :3], dirs)
+                d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+                o = c2w[:, :3, 3]
+                params, opt_state, losses = step(
+                    params, opt_state, occ_grid, sk, o, d, rgb, inst)
+                return (params, opt_state, key), losses
+
+            (params, opt_state, _), losses = jax.lax.scan(
+                body, (params, opt_state, key),
+                (views, pix, rgbs, insts), length=n_steps)
+            return params, opt_state, jax.tree.map(lambda x: x[-1], losses)
+
+        return scan_steps
+
+    def _scan_fn(self, stage, n_steps, intrinsics, hw):
+        k = (stage, n_steps, tuple(np.asarray(intrinsics).tolist()), tuple(hw))
+        if k not in self._step_fns:
+            self._step_fns[k] = self._make_scan_step(
+                stage, n_steps, intrinsics, hw)
+        return self._step_fns[k]
+
     # -- training ------------------------------------------------------------
 
     def train(self, scene: NeRFScene, steps: int, stage: str = "rgb",
-              log_every: int = 100, log=print):
+              log_every: int = 100, log=print,
+              steps_per_call: int | None = None):
+        """Staged training loop; dispatches ``steps_per_call`` updates per
+        device call via ``lax.scan`` (default = occ_update_every, which
+        preserves the occupancy-maintenance cadence exactly)."""
         cfg = self.cfg
-        step_fn = self._step_fn(stage)
+        spc = steps_per_call or cfg.occ_update_every
+        if stage != "instance":
+            # occupancy refresh must land every occ_update_every steps
+            spc = min(spc, cfg.occ_update_every)
         poses = jnp.asarray(scene.poses)
+        scan_fn = self._scan_fn(stage, spc, scene.intrinsics, scene.hw)
+        step_fn = self._step_fn(stage)
         t0 = time.time()
         last = {}
-        for i in range(steps):
-            v, pix, rgb, inst = scene.ray_batch(self.np_rng, cfg.n_rays)
-            o, d = self._rays_multi(poses, v, pix, scene)
+        done = 0
+        while done < steps:
+            k = min(spc, steps - done)
+            batches = [scene.ray_batch(self.np_rng, cfg.n_rays)
+                       for _ in range(k)]
+            vs = np.stack([b[0] for b in batches])
+            pixs = np.stack([b[1] for b in batches])
+            rgbs = np.stack([b[2] for b in batches])
+            insts = np.stack([
+                b[3] if b[3] is not None
+                else np.zeros((cfg.n_rays,), np.int32) for b in batches
+            ])
             self.key, sk = jax.random.split(self.key)
-            inst_t = (
-                jnp.asarray(inst) if inst is not None
-                else jnp.zeros((cfg.n_rays,), jnp.int32)
-            )
-            self.params, self.opt_state, last = step_fn(
-                self.params, self.opt_state, self.occ.grid, sk,
-                o, d, jnp.asarray(rgb), inst_t,
-            )
-            if (i + 1) % cfg.occ_update_every == 0 and stage != "instance":
+            if k == spc:
+                self.params, self.opt_state, last = scan_fn(
+                    self.params, self.opt_state, self.occ.grid, sk,
+                    poses, jnp.asarray(vs), jnp.asarray(pixs),
+                    jnp.asarray(rgbs), jnp.asarray(insts),
+                )
+            else:  # remainder: single-step path (avoids a scan retrace)
+                for j in range(k):
+                    o, d = self._rays_multi(poses, vs[j], pixs[j], scene)
+                    sk, s2 = jax.random.split(sk)
+                    self.params, self.opt_state, last = step_fn(
+                        self.params, self.opt_state, self.occ.grid, s2,
+                        o, d, jnp.asarray(rgbs[j]), jnp.asarray(insts[j]),
+                    )
+            done += k
+            if stage != "instance" and done % cfg.occ_update_every == 0:
                 self.key, ok = jax.random.split(self.key)
                 self.occ = update_occupancy(
                     self.occ, lambda x: self._sigma_jit(self.params, x), ok
                 )
-            if (i + 1) % log_every == 0:
-                m = {k: float(val) for k, val in last.items()}
-                rate = cfg.n_rays * (i + 1) / (time.time() - t0)
-                log(f"[{stage}] step {i+1}: " +
-                    " ".join(f"{k}={v:.4f}" for k, v in m.items()) +
+            if log_every and (done % log_every < spc or done >= steps):
+                m = {kk: float(val) for kk, val in last.items()}
+                rate = cfg.n_rays * done / (time.time() - t0)
+                log(f"[{stage}] step {done}: " +
+                    " ".join(f"{kk}={v:.4f}" for kk, v in m.items()) +
                     f" ({rate:.0f} rays/s)")
         return {k: float(v) for k, v in last.items()}
 
@@ -300,6 +375,7 @@ class InstanceFieldTrainer:
                     occ=OccupancyGrid(occ_grid, cfg.occ_threshold),
                     stratified=False, with_instance=with_instance,
                     k_occupied=cfg.k_occupied,
+                    occ_coarse_res=cfg.occ_coarse_res,
                 )
 
             self._render_fns[with_instance] = render

@@ -77,6 +77,9 @@ class RCNNConfig:
     seed: int = 0
     # hold decoded scenes (grid + per-instance voxel masks) in host RAM
     cache_scenes: bool = False
+    # updates dispatched per device call (lax.scan); >1 amortizes the
+    # ~1.3 s/dispatch axon-tunnel host overhead (BENCH_NOTES.md)
+    steps_per_call: int = 1
 
 
 def make_rcnn_step_fn(model, tx, cfg, mask_slots: int):
@@ -218,34 +221,59 @@ class RCNNTrainer:
         if self.params is None:
             self.init_state()
         step_fn = self._make_step()
+        spc = max(1, cfg.steps_per_call)
+        if spc > 1:
+            from instance_nerf_tpu.parallel.train_step import (
+                make_rcnn_scan_step,
+            )
+
+            scan_fn = make_rcnn_scan_step(
+                self.model, self.tx, cfg, spc, mask_slots=self.mask_slots)
         rng = np.random.default_rng(cfg.seed)
         steps_per_epoch = max(1, len(ds) // cfg.batch_size)
+        FIELDS = ("grids", "grid_sizes", "rois", "roi_mask", "gt_boxes",
+                  "gt_labels", "gt_mask", "gt_voxel_masks")
+
+        def load_batch(idx, order):
+            if len(idx) < cfg.batch_size:
+                idx = np.concatenate([idx, order[: cfg.batch_size - len(idx)]])
+            return ds.batch(idx, (cfg.resolution,) * 3, max_gt=cfg.max_gt,
+                            max_rois=cfg.max_rois)
+
         gstep = 0
         for epoch in range(cfg.num_epochs):
             order = rng.permutation(len(ds))
             t0 = time.time()
-            for sidx in range(steps_per_epoch):
-                idx = order[sidx * cfg.batch_size : (sidx + 1) * cfg.batch_size]
-                if len(idx) < cfg.batch_size:
-                    idx = np.concatenate([idx, order[: cfg.batch_size - len(idx)]])
-                b = ds.batch(idx, (cfg.resolution,) * 3, max_gt=cfg.max_gt,
-                             max_rois=cfg.max_rois)
+            sidx = 0
+            while sidx < steps_per_epoch:
+                k = min(spc, steps_per_epoch - sidx)
+                batches = [
+                    load_batch(order[(sidx + j) * cfg.batch_size:
+                                     (sidx + j + 1) * cfg.batch_size], order)
+                    for j in range(k)
+                ]
                 self.key, sk = jax.random.split(self.key)
-                self.params, self.opt_state, metrics = step_fn(
-                    self.params, self.opt_state, sk,
-                    jnp.asarray(b.grids), jnp.asarray(b.grid_sizes),
-                    jnp.asarray(b.rois), jnp.asarray(b.roi_mask),
-                    jnp.asarray(b.gt_boxes), jnp.asarray(b.gt_labels),
-                    jnp.asarray(b.gt_mask), jnp.asarray(b.gt_voxel_masks),
-                )
-                gstep += 1
-                if gstep % cfg.log_interval == 0:
-                    mm = {k: float(v) for k, v in metrics.items()}
+                if k == spc and spc > 1:
+                    stacked = tuple(
+                        np.stack([getattr(b, f) for b in batches])
+                        for f in FIELDS)
+                    self.params, self.opt_state, metrics = scan_fn(
+                        self.params, self.opt_state, sk, *stacked)
+                else:
+                    for b in batches:
+                        sk, s2 = jax.random.split(sk)
+                        self.params, self.opt_state, metrics = step_fn(
+                            self.params, self.opt_state, s2,
+                            *(jnp.asarray(getattr(b, f)) for f in FIELDS))
+                gstep += k
+                sidx += k
+                if gstep % cfg.log_interval < k:
+                    mm = {kk: float(v) for kk, v in metrics.items()}
                     log.info(
                         "epoch %d step %d: total=%.4f cls=%.4f box=%.4f mask=%.4f npos=%d (%.2fs/it)",
                         epoch, gstep, mm["total"], mm["loss_classifier"],
                         mm["loss_box_reg"], mm["loss_mask"], int(mm["num_pos"]),
-                        (time.time() - t0) / (sidx + 1),
+                        (time.time() - t0) / max(sidx, 1),
                     )
             if (epoch + 1) % cfg.eval_interval == 0:
                 metrics = self.eval(val)

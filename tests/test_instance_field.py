@@ -168,3 +168,44 @@ def test_update_occupancy():
     g = np.asarray(occ2.grid)
     assert g[4, 4, 4] > 1.0
     assert g[0, 0, 0] < 0.5
+
+
+def test_coarse_occupancy_mxu_matches_pooled_reference():
+    """coarse_occupancy_mxu == nearest-cell lookup of the max-pooled
+    grid; on a blocky grid (constant within coarse cells) it equals the
+    exact fine lookup."""
+    rng = np.random.default_rng(0)
+    coarse = rng.uniform(size=(4, 4, 4)) < 0.5
+    fine = np.repeat(np.repeat(np.repeat(coarse, 4, 0), 4, 1), 4, 2)
+    occ = R.OccupancyGrid(jnp.asarray(fine * 1e3, jnp.float32), 0.01)
+    xyz = jnp.asarray(rng.uniform(0, 1, (257, 3)), jnp.float32)
+    got = R.coarse_occupancy_mxu(occ, xyz, 4)
+    want = occ.occupied(xyz)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_render_rays_two_stage_occupancy_matches_exact_on_blocky_grid():
+    """With a grid that is constant within coarse cells, the coarse-MXU
+    selection picks the same K candidates as the exact path, so the
+    render is identical."""
+    model = InstanceNGP(n_levels=2, table_size=2 ** 10, max_res=32,
+                        num_instances=3)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 3)),
+                        jnp.asarray([[0.0, 0.0, 1.0]]))
+    rng = np.random.default_rng(1)
+    coarse = rng.uniform(size=(8, 8, 8)) < 0.4
+    fine = np.repeat(np.repeat(np.repeat(coarse, 4, 0), 4, 1), 4, 2)
+    occ = R.OccupancyGrid(jnp.asarray(fine * 1e3, jnp.float32), 0.01)
+    o = jnp.asarray(rng.uniform(0.1, 0.9, (16, 3)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(16, 3)), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    kw = dict(n_samples=32, occ=occ, k_occupied=8, stratified=False)
+    f = lambda p, x, v: model.apply(p, x, v)
+    exact = R.render_rays(f, params, jax.random.key(2), o, d, **kw)
+    two = R.render_rays(f, params, jax.random.key(2), o, d,
+                        occ_coarse_res=8, **kw)
+    np.testing.assert_allclose(np.asarray(exact.rgb), np.asarray(two.rgb),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(exact.instance_logits),
+                               np.asarray(two.instance_logits),
+                               rtol=1e-5, atol=1e-5)

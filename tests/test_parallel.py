@@ -86,6 +86,110 @@ def test_prefetch_loader_propagates_errors():
         list(loader)
 
 
+def test_fcos_scan_step_matches_sequential():
+    """make_fcos_scan_step(K) == K sequential single steps (same batches,
+    same init) — the multi-step dispatch must not change training."""
+    from instance_nerf_tpu.models.backbones import VGG_FPN
+    from instance_nerf_tpu.models.fcos import FCOSOverNeRF
+    from instance_nerf_tpu.parallel.train_step import (
+        init_fcos_state,
+        make_fcos_scan_step,
+        make_fcos_train_step,
+        make_optimizer,
+    )
+
+    model = FCOSOverNeRF(backbone=VGG_FPN(cfg="AF", input_size=160))
+    tx = make_optimizer(lr=1e-3, total_steps=4)
+    g, b, k = 32, 2, 3
+    rng = np.random.default_rng(0)
+    grids = np.asarray(rng.uniform(0, 1, (k, b, g, g, g, 4)), np.float32)
+    sizes = np.full((k, b, 3), float(g), np.float32)
+    gt = np.tile(np.array([[4, 4, 4, 20, 20, 20.0]], np.float32),
+                 (k, b, 1, 1))
+    gtm = np.ones((k, b, 1), bool)
+
+    state0 = init_fcos_state(model, tx, jnp.asarray(grids[0]))
+    step = make_fcos_train_step(model, tx)
+    s1 = state0
+    for j in range(k):
+        s1, m1 = step(s1, grids[j], sizes[j], gt[j], gtm[j])
+
+    scan = make_fcos_scan_step(model, tx, k)
+    s2, m2 = scan(state0, grids, sizes, gt, gtm)
+
+    assert int(s2.step) == k
+    np.testing.assert_allclose(float(m1["total"]), float(m2["total"]),
+                               rtol=1e-5)
+    for a, c in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_rcnn_scan_step_matches_sequential():
+    """make_rcnn_scan_step(K) == K sequential steps with the same
+    per-step key split (jax.random.split(key, K))."""
+    import optax
+
+    from instance_nerf_tpu.models import rcnn as RC
+    from instance_nerf_tpu.models.backbones import VGG_FPN
+    from instance_nerf_tpu.parallel.train_step import make_rcnn_scan_step
+    from instance_nerf_tpu.train.rcnn_trainer import (
+        RCNNConfig,
+        make_rcnn_step_fn,
+    )
+    from instance_nerf_tpu.train.train_utils import partition_optimizer
+
+    cfg = RCNNConfig(batch_size_per_image=8, num_classes=3)
+    model = RC.NeRF_RCNN(
+        backbone=VGG_FPN(cfg="AF", input_size=160),
+        num_classes=3,
+        input_shape=(16, 16, 16),
+    )
+    ksteps, b, p, ngt, g = 2, 1, 4, 2, 16
+    rng = np.random.default_rng(5)
+    grids = np.asarray(rng.uniform(0, 1, (ksteps, b, g, g, g, 4)), np.float32)
+    sizes = np.full((ksteps, b, 3), float(g), np.float32)
+    lo = rng.uniform(0, g * 0.5, (ksteps, b, p, 3))
+    hi = lo + rng.uniform(2, g * 0.4, (ksteps, b, p, 3))
+    rois = np.asarray(np.concatenate([lo, np.minimum(hi, g)], -1), np.float32)
+    glo = rng.uniform(0, g * 0.5, (ksteps, b, ngt, 3))
+    ghi = glo + rng.uniform(2, g * 0.4, (ksteps, b, ngt, 3))
+    gt = np.asarray(np.concatenate([glo, np.minimum(ghi, g)], -1), np.float32)
+    gtl = np.asarray(rng.integers(1, 3, (ksteps, b, ngt)), np.int32)
+    gtm = np.ones((ksteps, b, ngt), bool)
+    rv = np.ones((ksteps, b, p), bool)
+    vm = np.asarray(rng.uniform(0, 1, (ksteps, b, ngt, g, g, g)) < 0.2,
+                    np.uint8)
+
+    params = model.init(jax.random.key(0), jnp.asarray(grids[0]),
+                        jnp.asarray(rois[0, :, :2]), with_masks=True)
+    tx = partition_optimizer(
+        optax.chain(optax.clip_by_global_norm(0.1), optax.adamw(1e-3)),
+        params, frozen_prefixes=("backbone",),
+    )
+    opt_state = tx.init(params)
+    mask_slots = 2
+    key = jax.random.key(11)
+
+    step = jax.jit(make_rcnn_step_fn(model, tx, cfg, mask_slots))
+    keys = jax.random.split(key, ksteps)
+    p1, o1 = params, opt_state
+    for j in range(ksteps):
+        p1, o1, m1 = step(p1, o1, keys[j], grids[j], sizes[j], rois[j],
+                          rv[j], gt[j], gtl[j], gtm[j], vm[j])
+
+    scan = make_rcnn_scan_step(model, tx, cfg, ksteps, mask_slots=mask_slots)
+    p2, o2, m2 = scan(params, opt_state, key, grids, sizes, rois, rv, gt,
+                      gtl, gtm, vm)
+    np.testing.assert_allclose(float(m1["total"]), float(m2["total"]),
+                               rtol=1e-5)
+    for a, c in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_rcnn_sharded_step_matches_single_device():
     """The SPMD RoI-head step (batch over dcn x data, params replicated)
     produces the same update as the single-device jit — the DDP-parity
