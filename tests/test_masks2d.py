@@ -139,3 +139,45 @@ def test_refine_instance_map_snaps_to_edges():
     before = (ids == gt).mean()
     after = (out == gt).mean()
     assert after >= before  # refinement moves toward image edges
+
+
+def test_async_predictor_ordered_and_parallel():
+    """AsyncPredictor returns results in submission order across workers
+    (the reference AsyncPredictor's put/get contract,
+    Mask2Former_sample/predictor.py:130-170)."""
+    import time
+
+    from instance_nerf_tpu.masks2d.async_predictor import AsyncPredictor
+
+    def make(widx):
+        def predict(x):
+            # reversed latency: later tasks finish first without ordering
+            time.sleep(0.01 * (5 - x % 5))
+            return x * 10
+        return predict
+
+    with AsyncPredictor(make, num_workers=3) as pred:
+        got = list(pred.imap(range(17)))
+    assert got == [x * 10 for x in range(17)]
+    # single-shot call contract
+    with AsyncPredictor(make, num_workers=2) as pred:
+        assert pred(7) == 70
+
+
+def test_async_predictor_propagates_errors():
+    from instance_nerf_tpu.masks2d.async_predictor import AsyncPredictor
+
+    def make(widx):
+        def predict(x):
+            if x == 2:
+                raise ValueError("boom")
+            return x
+        return predict
+
+    with AsyncPredictor(make, num_workers=2) as pred:
+        pred.put(1)
+        pred.put(2)
+        assert pred.get() == 1
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            pred.get()
