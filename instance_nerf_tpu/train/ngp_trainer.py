@@ -60,6 +60,10 @@ class NGPConfig:
     # two-stage occupancy: coarse MXU selection + fine mask on the K
     # compacted samples (render.py:coarse_occupancy_mxu); None = exact
     occ_coarse_res: int | None = None
+    # route hash/brick table gradients through the Pallas scatter-add
+    # kernel (kernels/scatter_pallas.py) — 1.75x XLA's scatter on the
+    # rgb-stage backward (probe8b: brick fwd+bwd 54.6 -> 31.2 ms)
+    pallas_grad: bool = False
 
 
 def rays_multi(poses, views, pix, scene):
@@ -108,6 +112,7 @@ class InstanceFieldTrainer:
                 hidden=cfg.hidden,
                 num_instances=cfg.num_instances,
                 dtype=dtype,
+                pallas_grad=cfg.pallas_grad,
             )
         else:
             self.model = InstanceNGP(
@@ -119,6 +124,7 @@ class InstanceFieldTrainer:
                 hidden=cfg.hidden,
                 num_instances=cfg.num_instances,
                 dtype=dtype,
+                pallas_grad=cfg.pallas_grad,
             )
         self.key = jax.random.key(seed)
         self.np_rng = np.random.default_rng(seed)
