@@ -1,0 +1,106 @@
+"""Multi-scene fast-vs-hash quality parity (VERDICT r2 weak #7).
+
+The round-2 "drop-in replacement" claim for the brick encoding rested on
+ONE synthetic scene while brick seams are a known approximation
+(fast_encode.py). This drives the parity table over N scenes (different
+blob layouts/colors per seed), fast vs hash at matched step budgets,
+reporting mean +- spread of train PSNR / novel-render PSNR / instance
+CE / instance pixel acc.
+
+The fast config is the SHIPPING one: brick encoding + Pallas table VJP
+(pallas_grad) + two-stage coarse-MXU occupancy — so the table also
+validates those paths in real training, not just microbenchmarks.
+
+Run (TPU): python examples/fast_quality_multi.py \
+    --out examples/results/fast_quality_multi.json
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="examples/results/fast_quality_multi.json")
+    p.add_argument("--num_scenes", type=int, default=8)
+    p.add_argument("--rgb_steps", type=int, default=1500)
+    p.add_argument("--inst_steps", type=int, default=500)
+    p.add_argument("--skip_hash", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    import numpy as np
+
+    from instance_nerf_tpu.data.nerf_dataset import make_synthetic_nerf_scene
+    from instance_nerf_tpu.train.ngp_trainer import (
+        InstanceFieldTrainer,
+        NGPConfig,
+        fast_ngp_config,
+    )
+
+    configs = [
+        ("fast", lambda: fast_ngp_config(
+            num_instances=5, n_rays=4096, n_samples=96, k_occupied=32,
+            occ_res=64, occ_coarse_res=32, pallas_grad=True)),
+    ]
+    if not args.skip_hash:
+        configs.append(
+            ("hash", lambda: NGPConfig(
+                num_instances=5, n_rays=4096, n_samples=96, k_occupied=32,
+                occ_res=64, dtype="bfloat16")))
+
+    rows = []
+    for seed in range(args.num_scenes):
+        rng = np.random.default_rng(seed)
+        scene, _ = make_synthetic_nerf_scene(rng, n_views=12, hw=(64, 64),
+                                             n_blobs=3)
+        for name, mk in configs:
+            tr = InstanceFieldTrainer(mk(), seed=seed)
+            t0 = time.time()
+            m_rgb = tr.train(scene, args.rgb_steps, stage="rgb",
+                             log_every=0)
+            m_inst = tr.train(scene, args.inst_steps, stage="instance",
+                              log_every=0)
+            out = tr.render_image(scene.poses[0], scene.intrinsics,
+                                  scene.hw, chunk=4096)
+            mse = float(np.mean((out["rgb"] - scene.images[0]) ** 2))
+            row = {
+                "scene": seed, "encoding": name,
+                "train_psnr": round(float(m_rgb["psnr"]), 2),
+                "render_psnr_view0": round(-10 * np.log10(max(mse, 1e-10)), 2),
+                "instance_ce": round(float(m_inst["instance"]), 4),
+                "instance_pixel_acc": round(
+                    float((out["instance"] == scene.masks[0]).mean()), 4),
+                "wall_s": round(time.time() - t0, 1),
+            }
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+
+    summary = {}
+    for name, _ in configs:
+        sel = [r for r in rows if r["encoding"] == name]
+        for k in ("train_psnr", "render_psnr_view0", "instance_ce",
+                  "instance_pixel_acc", "wall_s"):
+            v = np.asarray([r[k] for r in sel], np.float64)
+            summary[f"{name}_{k}"] = {
+                "mean": round(float(v.mean()), 3),
+                "std": round(float(v.std()), 3),
+                "min": round(float(v.min()), 3),
+                "max": round(float(v.max()), 3),
+            }
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump({"rows": rows, "summary": summary}, f, indent=2)
+    print("FAST QUALITY MULTI OK", json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -74,6 +74,7 @@ def main(argv=None):
         preload=True,
         max_gt=16,  # rooms have <=9 boxes; shrinks pairwise target tensors
         remat=True,
+        steps_per_call=4,
         resume=args.resume,
         seed=args.seed,
     )
