@@ -32,6 +32,10 @@ def main(argv=None):
     p.add_argument("--rgb_steps", type=int, default=1500)
     p.add_argument("--inst_steps", type=int, default=500)
     p.add_argument("--skip_hash", action="store_true")
+    p.add_argument("--table_log2", type=int, default=17)
+    p.add_argument("--n_levels", type=int, default=6)
+    p.add_argument("--dense_res", type=int, default=16)
+    p.add_argument("--base_res", type=int, default=32)
     args = p.parse_args(argv)
 
     import jax
@@ -49,7 +53,9 @@ def main(argv=None):
     configs = [
         ("fast", lambda: fast_ngp_config(
             num_instances=5, n_rays=4096, n_samples=96, k_occupied=32,
-            occ_res=64, occ_coarse_res=32, pallas_grad=True)),
+            occ_res=64, occ_coarse_res=32, pallas_grad=True,
+            table_size=2 ** args.table_log2, n_levels=args.n_levels,
+            dense_res=args.dense_res, base_res=args.base_res)),
     ]
     if not args.skip_hash:
         configs.append(

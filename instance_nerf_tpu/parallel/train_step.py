@@ -38,11 +38,14 @@ def make_optimizer(
 ):
     """AdamW + grad-clip (+ OneCycle when total_steps given), matching the
     reference trainer's recipe (run_fcos.py:322-327)."""
-    if total_steps:
+    if total_steps and total_steps >= 4:
         sched = optax.cosine_onecycle_schedule(
             transition_steps=total_steps, peak_value=lr, pct_start=pct_start
         )
     else:
+        # optax's onecycle emits NaN for transition_steps <= 2 (the
+        # warmup segment divides by pct_start*steps-1 == 0); tiny runs
+        # (smoke tests, micro-benchmarks) fall back to constant lr
         sched = lr
     return optax.chain(
         optax.clip_by_global_norm(clip_grad_norm),

@@ -259,3 +259,51 @@ def test_rcnn_sharded_step_matches_single_device():
         # order; adam's rsqrt amplifies near-zero elements
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    rtol=2e-3, atol=1e-4)
+
+
+def test_fcos_train_loop_scan_smoke(tmp_path):
+    """train_loop with steps_per_call>1 exercises the stacked-batch scan
+    dispatch path end to end (loader -> stack -> scan -> metrics)."""
+    from instance_nerf_tpu.data.synthetic import write_dataset
+    from instance_nerf_tpu.train.fcos_trainer import FCOSConfig, FCOSTrainer
+
+    root = str(tmp_path / "ds")
+    write_dataset(root, num_scenes=8, grid_size=(32, 32, 32), num_boxes=3)
+    cfg = FCOSConfig(
+        features_path=root + "/features",
+        boxes_path=root + "/metadata",
+        dataset_split=root + "/dataset_split.json",
+        resolution=32,
+        batch_size=2,
+        num_epochs=1,
+        steps_per_call=2,
+        eval_interval=10 ** 9,
+        backbone_type="vgg_AF",
+        max_gt=8,
+    )
+    t = FCOSTrainer(cfg)
+    t.train_loop()  # 4 scenes / bs2 = 2 steps -> one scan dispatch
+    assert int(t.state.step) == 2
+
+
+def test_rcnn_train_loop_scan_smoke(tmp_path):
+    from instance_nerf_tpu.data.synthetic import write_dataset
+    from instance_nerf_tpu.train.rcnn_trainer import RCNNConfig, RCNNTrainer
+
+    root = str(tmp_path / "ds")
+    write_dataset(root, num_scenes=4, grid_size=(32, 32, 32), num_boxes=3)
+    cfg = RCNNConfig(
+        dataset_root=root,
+        resolution=32,
+        batch_size=2,
+        num_epochs=1,
+        steps_per_call=2,
+        eval_interval=10 ** 9,
+        backbone_type="vgg_AF",
+        num_classes=11,
+        batch_size_per_image=16,
+        max_rois=16,
+        max_gt=8,
+    )
+    t = RCNNTrainer(cfg)
+    t.train_loop()
