@@ -101,12 +101,32 @@ def extra_instance_field_rays_per_s() -> dict:
         fast_ngp_config,
     )
 
-    trainer = InstanceFieldTrainer(fast_ngp_config(k_occupied=32))
+    trainer = InstanceFieldTrainer(
+        fast_ngp_config(k_occupied=32, occ_coarse_res=32))
     r = trainer.benchmark_train(reps=20, stage="instance")
     return {"rays_per_s": round(r["rays_per_s"]),
             "step_ms": round(r["step_ms"], 2),
             "n_rays": trainer.cfg.n_rays, "k_occupied": 32,
             "encoding": "fast"}
+
+
+def extra_field_pretrain_rgb_rays_per_s() -> dict:
+    """NeRF-pretraining (rgb) stage: the stage that UPDATES the
+    hash/brick tables (the instance stage stop-gradients the field —
+    BENCH_NOTES round-3 decomposition). Pallas scatter-add table VJP."""
+    from instance_nerf_tpu.train.ngp_trainer import (
+        InstanceFieldTrainer,
+        fast_ngp_config,
+    )
+
+    trainer = InstanceFieldTrainer(
+        fast_ngp_config(k_occupied=32, occ_coarse_res=32,
+                        pallas_grad=True))
+    r = trainer.benchmark_train(reps=20, stage="rgb")
+    return {"rays_per_s": round(r["rays_per_s"]),
+            "step_ms": round(r["step_ms"], 2),
+            "n_rays": trainer.cfg.n_rays, "k_occupied": 32,
+            "encoding": "fast", "pallas_grad": True}
 
 
 def extra_fcos_train_step_ms() -> dict:
@@ -136,6 +156,7 @@ def main():
     extras = {}
     for name, fn in (
         ("instance_field_train", extra_instance_field_rays_per_s),
+        ("field_pretrain_rgb", extra_field_pretrain_rgb_rays_per_s),
         ("fcos_train_step", extra_fcos_train_step_ms),
         ("rcnn_train_step", extra_rcnn_train_step_ms),
     ):

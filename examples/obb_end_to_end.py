@@ -99,8 +99,17 @@ def main(argv=None):
         iou = np.asarray(cal_iou_3d(gtb[:, None, :], pb[None, :, :]))
         best = iou.max(axis=1) if iou.size else np.zeros(len(gt))
         best_ious_all.extend(best.tolist())
+        # theta diagnosis: |wrapped angle error| of each GT's best match
+        # (distinguishes "theta collapses to 0" from "size/center off")
+        if iou.size:
+            bidx = iou.argmax(axis=1)
+            dth = np.asarray(gt)[:, 6] - np.asarray(boxes[order])[bidx, 6]
+            dth = np.abs((dth + np.pi / 2) % np.pi - np.pi / 2)
+        else:
+            dth = np.zeros(len(gt))
         per_scene.append({"scene": scene, "gt": int(len(gt)),
-                          "best_iou_mean": float(best.mean())})
+                          "best_iou_mean": float(best.mean()),
+                          "theta_err_deg_mean": float(np.degrees(dth).mean())})
         print(f"[eval] {scene}: mean best rotated IoU {best.mean():.3f} "
               f"(min {best.min():.3f})", flush=True)
 
