@@ -75,6 +75,7 @@ def main(argv=None):
         max_gt=16,  # rooms have <=9 boxes; shrinks pairwise target tensors
         remat=True,
         steps_per_call=4,
+        save_interval=20,
         resume=args.resume,
         seed=args.seed,
     )

@@ -96,6 +96,11 @@ class FCOSConfig:
     # updates dispatched per device call (lax.scan); >1 amortizes the
     # ~1.3 s/dispatch axon-tunnel host overhead (BENCH_NOTES.md)
     steps_per_call: int = 1
+    # checkpoint cadence decoupled from eval (epochs); 0 = only at
+    # eval/end. Long runs with eval disabled MUST set this or a crash
+    # loses everything (the 320-epoch OBB run died at epoch 309 with
+    # zero saves)
+    save_interval: int = 0
     fpn_strides: tuple = (4, 8, 16, 32)
     seed: int = 0
     # hold decoded grids in host RAM (one decompress per scene instead of
@@ -264,6 +269,12 @@ class FCOSTrainer:
                                 (b.grids, b.grid_sizes, b.gt_boxes,
                                  b.gt_mask))
                             self.state, metrics = step_fn(self.state, *args)
+                # fetch one scalar: completes this dispatch before the
+                # next is enqueued. Without it the async stream through
+                # the axon tunnel retains each dispatch's host-staged
+                # inputs (4 x 128^3-grid stacks = ~0.5 GB each) and a
+                # multi-hour run OOMs the HOST (observed: 130 GB RSS)
+                float(metrics["total"])
                 gstep += k
                 s += k
                 if gstep % cfg.log_interval < k:
@@ -282,6 +293,9 @@ class FCOSTrainer:
                     self.ckpt.save(gstep, self.state, config=asdict(self.cfg),
                                    metrics=metrics)
             elif self.ckpt and (epoch + 1) % cfg.eval_interval == 0:
+                self.ckpt.save(gstep, self.state, config=asdict(self.cfg))
+            elif (self.ckpt and cfg.save_interval
+                  and (epoch + 1) % cfg.save_interval == 0):
                 self.ckpt.save(gstep, self.state, config=asdict(self.cfg))
         if self.ckpt:
             self.ckpt.save(gstep, self.state, config=asdict(self.cfg))

@@ -265,6 +265,11 @@ class RCNNTrainer:
                         self.params, self.opt_state, metrics = step_fn(
                             self.params, self.opt_state, s2,
                             *(jnp.asarray(getattr(b, f)) for f in FIELDS))
+                # complete this dispatch before enqueueing the next —
+                # unbounded async through the tunnel retains host-staged
+                # inputs and OOMs the host on long runs (see
+                # fcos_trainer.train_loop)
+                float(metrics["total"])
                 gstep += k
                 sidx += k
                 if gstep % cfg.log_interval < k:
