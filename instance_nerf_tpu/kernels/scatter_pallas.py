@@ -57,26 +57,71 @@ def _scatter_kernel(idx_ref, upd_ref, out_ref):
     jax.lax.fori_loop(0, ROWS, outer, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("table_rows", "interpret"))
+def _make_replica_kernel(table_rows: int, replicas: int):
+    """Scatter kernel with ``replicas`` disjoint accumulator copies of the
+    table stacked in one (replicas*T, W) output. Each loop iteration
+    issues ``replicas`` INDEPENDENT read-modify-writes (update i goes to
+    copy i%replicas), breaking the serial RMW dependency chain that
+    bounds the single-copy kernel (~60 M rows/s, probe9). The caller
+    reduces the copies with one cheap XLA sum."""
+
+    def kernel(idx_ref, upd_ref, out_ref):
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        def outer(j, _):
+            def inner(k, _):
+                col = k * replicas
+                for rep in range(replicas):  # unrolled, disjoint copies
+                    r = jnp.clip(idx_ref[j, col + rep], 0, table_rows - 1)
+                    out_ref[pl.ds(r + rep * table_rows, 1), :] += upd_ref[
+                        pl.ds(j * TILE + col + rep, 1), :
+                    ]
+                return 0
+
+            jax.lax.fori_loop(0, TILE // replicas, inner, 0)
+            return 0
+
+        jax.lax.fori_loop(0, ROWS, outer, 0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("table_rows", "interpret", "replicas")
+)
 def scatter_add_pallas(
     indices: jnp.ndarray,  # (N,) int32 row ids, N % (ROWS*TILE) == 0
     updates: jnp.ndarray,  # (N, W) f32 rows
     table_rows: int,
     interpret: bool = False,
+    replicas: int = 1,
 ) -> jnp.ndarray:
     """sum-scatter ``updates`` into a zero (table_rows, W) table.
 
     Equivalent to ``jnp.zeros((table_rows, W)).at[indices].add(updates)``
     (accumulation order differs at float precision). Pad N up to a
     multiple of ROWS*TILE with zero update rows before calling.
+
+    ``replicas`` > 1 accumulates into that many disjoint VMEM copies of
+    the table (reduced at the end) to break the serial RMW chain; the
+    (replicas * table_rows, W) stack must still fit VMEM.
     """
     n, w = updates.shape
     assert n % (ROWS * TILE) == 0, (
         f"N={n} must be a multiple of {ROWS * TILE}; pad with zero rows"
     )
+    assert TILE % replicas == 0
     idx2d = indices.astype(jnp.int32).reshape(-1, TILE)
-    return pl.pallas_call(
-        _scatter_kernel,
+    if replicas == 1:
+        kernel = _scatter_kernel
+    else:
+        kernel = _make_replica_kernel(table_rows, replicas)
+    out = pl.pallas_call(
+        kernel,
         grid=(n // (ROWS * TILE),),
         in_specs=[
             pl.BlockSpec((ROWS, TILE), lambda i: (i, 0),
@@ -85,13 +130,18 @@ def scatter_add_pallas(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((table_rows, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((replicas * table_rows, w),
+                                       jnp.float32),
         interpret=interpret,
     )(idx2d, updates)
+    if replicas > 1:
+        out = out.reshape(replicas, table_rows, w).sum(axis=0)
+    return out
 
 
 def scatter_add_padded(indices, updates, table_rows: int,
-                       interpret: bool = False) -> jnp.ndarray:
+                       interpret: bool = False,
+                       replicas: int = 1) -> jnp.ndarray:
     """``scatter_add_pallas`` for arbitrary N: pads updates with zero rows
     (index 0, exact — zero rows contribute nothing) up to ROWS*TILE."""
     n, w = updates.shape
@@ -102,11 +152,12 @@ def scatter_add_padded(indices, updates, table_rows: int,
         updates = jnp.concatenate(
             [updates, jnp.zeros((pad, w), updates.dtype)])
     return scatter_add_pallas(indices, updates, table_rows,
-                              interpret=interpret)
+                              interpret=interpret, replicas=replicas)
 
 
 def gather_rows_pallas_grad(table2d: jnp.ndarray, flat_idx: jnp.ndarray,
-                            n_levels: int, trailing: int = 1) -> jnp.ndarray:
+                            n_levels: int, trailing: int = 1,
+                            replicas: int = 1) -> jnp.ndarray:
     """``jnp.take(table2d, flat_idx, axis=0)`` whose TABLE gradient runs
     through the Pallas scatter-add kernel instead of XLA's scatter.
 
@@ -120,20 +171,20 @@ def gather_rows_pallas_grad(table2d: jnp.ndarray, flat_idx: jnp.ndarray,
     Exactness: identical to ``.at[].add`` up to float summation order
     (tests assert 1e-5). Off-TPU the kernel runs in interpret mode.
     """
-    return _gather_rows_pg(table2d, flat_idx, n_levels, trailing)
+    return _gather_rows_pg(table2d, flat_idx, n_levels, trailing, replicas)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _gather_rows_pg(table2d, flat_idx, n_levels, trailing):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _gather_rows_pg(table2d, flat_idx, n_levels, trailing, replicas):
     return jnp.take(table2d, flat_idx, axis=0)
 
 
-def _gather_rows_pg_fwd(table2d, flat_idx, n_levels, trailing):
+def _gather_rows_pg_fwd(table2d, flat_idx, n_levels, trailing, replicas):
     out = jnp.take(table2d, flat_idx, axis=0)
     return out, (flat_idx, table2d.shape)
 
 
-def _gather_rows_pg_bwd(n_levels, trailing, res, d_out):
+def _gather_rows_pg_bwd(n_levels, trailing, replicas, res, d_out):
     flat_idx, (rows, w) = res
     L = n_levels
     T = rows // L
@@ -145,7 +196,8 @@ def _gather_rows_pg_bwd(n_levels, trailing, res, d_out):
         idx_l = per_lvl[:, l].reshape(-1) - l * T  # rebase into [0, T)
         upd_l = d_lvl[:, l].reshape(-1, w)
         grads.append(
-            scatter_add_padded(idx_l, upd_l, T, interpret=interpret)
+            scatter_add_padded(idx_l, upd_l, T, interpret=interpret,
+                               replicas=replicas)
         )
     d_table = jnp.concatenate(grads, axis=0)  # (L*T, w)
     return d_table, None

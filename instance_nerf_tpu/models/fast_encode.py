@@ -84,6 +84,7 @@ def brick_encode(
     resolutions: np.ndarray,  # (L,) static
     chunk: int = 2 ** 16,
     pallas_grad: bool = False,
+    pallas_replicas: int = 1,
 ) -> jnp.ndarray:
     """Brick-hash encoding: ONE gathered row per (point, level) -> (..., L*F).
 
@@ -105,15 +106,16 @@ def brick_encode(
         xp = jnp.pad(x_all, ((0, pad), (0, 0))).reshape(-1, chunk, 3)
         out = jax.lax.map(
             lambda xc: _brick_encode_block(table, xc, resolutions,
-                                           pallas_grad), xp
+                                           pallas_grad, pallas_replicas), xp
         )
         return out.reshape(-1, L * F)[:n_all].reshape(*lead, L * F)
-    return _brick_encode_block(table, x_all, resolutions, pallas_grad).reshape(
-        *lead, L * F
-    )
+    return _brick_encode_block(
+        table, x_all, resolutions, pallas_grad, pallas_replicas
+    ).reshape(*lead, L * F)
 
 
-def _brick_encode_block(table, x, resolutions, pallas_grad=False):
+def _brick_encode_block(table, x, resolutions, pallas_grad=False,
+                        pallas_replicas=1):
     L, T, C, F = table.shape
     n = x.shape[0]
     res_np = np.asarray(resolutions, np.int64)
@@ -149,7 +151,8 @@ def _brick_encode_block(table, x, resolutions, pallas_grad=False):
         )
 
         rows = gather_rows_pallas_grad(
-            table.reshape(L * T, C * F), flat, L
+            table.reshape(L * T, C * F), flat, L,
+            replicas=pallas_replicas,
         )  # (N*L, 16)
     else:
         rows = jnp.take(table.reshape(L * T, C * F), flat, axis=0)
@@ -205,6 +208,7 @@ class InstanceNGPFast(nn.Module):
     num_instances: int = 33
     dtype: jnp.dtype | None = None
     pallas_grad: bool = False  # brick-table grads via the Pallas kernel
+    pallas_replicas: int = 1  # VMEM accumulator copies in the kernel
 
     def setup(self):
         self.resolutions = brick_resolutions(
@@ -238,7 +242,8 @@ class InstanceNGPFast(nn.Module):
         parts = [
             dense_trilinear(self.dense_grid, xyz),
             brick_encode(self.table, xyz, self.resolutions,
-                         pallas_grad=self.pallas_grad),
+                         pallas_grad=self.pallas_grad,
+                         pallas_replicas=self.pallas_replicas),
             pe_encode(xyz, self.pe_freqs),
         ]
         return jnp.concatenate(parts, axis=-1)

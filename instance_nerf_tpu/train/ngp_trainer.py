@@ -64,6 +64,9 @@ class NGPConfig:
     # kernel (kernels/scatter_pallas.py) — 1.75x XLA's scatter on the
     # rgb-stage backward (probe8b: brick fwd+bwd 54.6 -> 31.2 ms)
     pallas_grad: bool = False
+    # disjoint VMEM accumulator copies inside the Pallas scatter kernel
+    # (breaks the serial RMW chain); 1 = single-copy kernel
+    pallas_replicas: int = 1
 
 
 def rays_multi(poses, views, pix, scene):
@@ -113,6 +116,7 @@ class InstanceFieldTrainer:
                 num_instances=cfg.num_instances,
                 dtype=dtype,
                 pallas_grad=cfg.pallas_grad,
+                pallas_replicas=cfg.pallas_replicas,
             )
         else:
             self.model = InstanceNGP(

@@ -31,6 +31,21 @@ def test_scatter_add_collision_heavy():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_scatter_add_replicas_matches_xla():
+    """The replica-accumulator kernel (K disjoint VMEM table copies,
+    reduced at the end) is exact vs .at[].add for K in {2, 4}."""
+    rng = np.random.default_rng(7)
+    n = ROWS * TILE
+    t, w = 1024, 16
+    idx = jnp.asarray(rng.integers(0, t, n), jnp.int32)
+    upd = jnp.asarray(rng.normal(size=(n, w)), jnp.float32)
+    want = jnp.zeros((t, w)).at[idx].add(upd)
+    for k in (2, 4):
+        got = scatter_add_pallas(idx, upd, t, interpret=True, replicas=k)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_scatter_add_padded_arbitrary_n():
     rng = np.random.default_rng(2)
     n = 1000  # not a multiple of ROWS*TILE
