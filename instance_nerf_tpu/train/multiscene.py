@@ -123,6 +123,80 @@ class MultiSceneFieldTrainer:
             )
         return self._steps[stage]
 
+    def _make_scan_step(self, stage: str, n_steps: int):
+        """K fleet updates per dispatch under ``lax.scan`` (same tunnel
+        economics as InstanceFieldTrainer._make_scan_step: each host
+        dispatch costs ~1.3 s through axon, so stepping once per call
+        caps ANY fleet size at <1 dispatch/s). Pose gather + ray
+        direction math run on device from stacked (B, Vmax, 4, 4) poses;
+        the host only draws view/pixel ids and gathers rgb/instance
+        targets (images stay in host RAM — they do not fit HBM at fleet
+        scale)."""
+        step = self._step_fn(stage)
+        h, w = self._hw
+        vmax = int(self._nview.max())
+        poses = np.zeros((len(self.scenes), vmax, 4, 4), np.float32)
+        for i, s in enumerate(self.scenes):
+            poses[i, : self._nview[i]] = np.asarray(s.poses, np.float32)
+        poses = jnp.asarray(poses)
+        intr = jnp.asarray(self._intr)  # (B, 4)
+
+        def scan_steps(state, occ_grids, key, views, pix, rgbs, insts):
+            fx, fy = intr[:, 0, None], intr[:, 1, None]
+            cx, cy = intr[:, 2, None], intr[:, 3, None]
+
+            def body(carry, xs):
+                state, key = carry
+                v, px, rgb, inst = xs  # (B, R) / (B, R, 3)
+                key, sk = jax.random.split(key)
+                c2w = jnp.take_along_axis(
+                    poses, v[..., None, None], axis=1
+                )  # (B, R, 4, 4)
+                py_ = (px // w).astype(jnp.float32) + 0.5
+                px_ = (px % w).astype(jnp.float32) + 0.5
+                dirs = jnp.stack(
+                    [(px_ - cx) / fx, -(py_ - cy) / fy,
+                     -jnp.ones_like(px_)], axis=-1)
+                d = jnp.einsum("brij,brj->bri", c2w[..., :3, :3], dirs)
+                d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+                o = c2w[..., :3, 3]
+                state, losses = step(state, occ_grids, sk, o, d, rgb, inst)
+                return (state, key), losses
+
+            (state, _), losses = jax.lax.scan(
+                body, (state, key), (views, pix, rgbs, insts),
+                length=n_steps)
+            return state, jax.tree.map(lambda x: x[-1], losses)
+
+        return jax.jit(scan_steps)
+
+    def _scan_fn(self, stage, n_steps):
+        k = ("scan", stage, n_steps)
+        if k not in self._steps:
+            self._steps[k] = self._make_scan_step(stage, n_steps)
+        return self._steps[k]
+
+    def _scan_batch(self, k):
+        """Host side of the scanned chunk: (K, B, R) view/pixel draws +
+        target gathers, committed with the scan-stacked sharding."""
+        cfg = self.cfg
+        b = len(self.scenes)
+        r = cfg.n_rays
+        h, w = self._hw
+        v = (self.np_rng.random((k, b, r)) * self._nview[None, :, None]
+             ).astype(np.int32)
+        pix = self.np_rng.integers(0, h * w, (k, b, r)).astype(np.int32)
+        lin = (self._pix_off[None, :, None] + v.astype(np.int64) * (h * w)
+               + pix)
+        rgb = self._rgb_all[lin].astype(np.float32)
+        inst = (self._inst_all[lin].astype(np.int32)
+                if self._inst_all is not None
+                else np.zeros((k, b, r), np.int32))
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(self.mesh, P(None, ("dcn", "data"), "sp"))
+        return [jax.device_put(x, sh) for x in (v, pix, rgb, inst)]
+
     def _batch(self):
         """(B, R, ...) host ray batch across all scenes — fully
         vectorized (no per-scene python loop; see _build_ray_index)."""
@@ -156,26 +230,44 @@ class MultiSceneFieldTrainer:
                 for x in (o, d, rgb, inst)]
 
     def train(self, steps: int, stage: str = "rgb", log_every: int = 100,
-              log=print):
+              log=print, steps_per_call: int | None = None):
+        """Fleet training loop; dispatches ``steps_per_call`` updates per
+        device call via ``lax.scan`` (default = occ_update_every, which
+        preserves the occupancy-maintenance cadence exactly)."""
         cfg = self.cfg
+        spc = steps_per_call or cfg.occ_update_every
+        if stage != "instance":
+            spc = min(spc, cfg.occ_update_every)
         step_fn = self._step_fn(stage)
+        scan_fn = self._scan_fn(stage, spc) if spc > 1 else None
         t0 = time.time()
         last = {}
-        for i in range(steps):
-            args = self._batch()
+        done = 0
+        while done < steps:
+            k = min(spc, steps - done)
             self.key, sk = jax.random.split(self.key)
             with self.mesh:
-                self.state, last = step_fn(self.state, self.occ_grids, sk,
-                                           *args)
-            if (i + 1) % cfg.occ_update_every == 0 and stage != "instance":
+                if scan_fn is not None and k == spc:
+                    args = self._scan_batch(k)
+                    self.state, last = scan_fn(self.state, self.occ_grids,
+                                               sk, *args)
+                    done += k
+                else:  # remainder: single-step path (no scan retrace)
+                    for _ in range(k):
+                        args = self._batch()
+                        sk, s2 = jax.random.split(sk)
+                        self.state, last = step_fn(self.state,
+                                                   self.occ_grids, s2, *args)
+                        done += 1
+            if done % cfg.occ_update_every == 0 and stage != "instance":
                 self._update_occupancy()
-            if log_every and (i + 1) % log_every == 0:
-                m = {k: float(v) for k, v in last.items()}
-                rate = len(self.scenes) * cfg.n_rays * (i + 1) / (time.time() - t0)
-                log(f"[ms-{stage}] step {i+1}: " +
-                    " ".join(f"{k}={v:.4f}" for k, v in m.items()) +
+            if log_every and (done % log_every < spc or done >= steps):
+                m = {k2: float(v) for k2, v in last.items()}
+                rate = len(self.scenes) * cfg.n_rays * done / (time.time() - t0)
+                log(f"[ms-{stage}] step {done}: " +
+                    " ".join(f"{k2}={v:.4f}" for k2, v in m.items()) +
                     f" ({rate:.0f} rays/s aggregate)")
-        return {k: float(v) for k, v in last.items()}
+        return {k2: float(v) for k2, v in last.items()}
 
     def _update_occupancy(self):
         g = self.cfg.occ_res
