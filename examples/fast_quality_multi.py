@@ -36,6 +36,8 @@ def main(argv=None):
     p.add_argument("--n_levels", type=int, default=6)
     p.add_argument("--dense_res", type=int, default=16)
     p.add_argument("--base_res", type=int, default=32)
+    p.add_argument("--n_features", type=int, default=2)
+    p.add_argument("--pallas_replicas", type=int, default=1)
     args = p.parse_args(argv)
 
     import jax
@@ -55,7 +57,9 @@ def main(argv=None):
             num_instances=5, n_rays=4096, n_samples=96, k_occupied=32,
             occ_res=64, occ_coarse_res=32, pallas_grad=True,
             table_size=2 ** args.table_log2, n_levels=args.n_levels,
-            dense_res=args.dense_res, base_res=args.base_res)),
+            dense_res=args.dense_res, base_res=args.base_res,
+            n_features=args.n_features,
+            pallas_replicas=args.pallas_replicas)),
     ]
     if not args.skip_hash:
         configs.append(
