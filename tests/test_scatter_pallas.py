@@ -85,6 +85,29 @@ def test_brick_encode_pallas_grad_exact():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_brick_encode_pallas_replicas_grad_exact():
+    """Replica-accumulator table gradient (pallas_replicas=2) matches the
+    XLA gradient through brick_encode."""
+    from instance_nerf_tpu.models.fast_encode import brick_encode
+
+    rng = np.random.default_rng(5)
+    L, T, F = 2, 512, 2
+    table = jnp.asarray(rng.normal(size=(L, T, 8, F)), jnp.float32)
+    xyz = jnp.asarray(rng.uniform(0, 1, (301, 3)), jnp.float32)
+    res = np.array([4, 8])
+    tgt = jnp.asarray(rng.normal(size=(301, L * F)), jnp.float32)
+
+    def loss(tab, pg, rep):
+        out = brick_encode(tab, xyz, res, pallas_grad=pg,
+                           pallas_replicas=rep)
+        return jnp.sum((out - tgt) ** 2)
+
+    g_rep = jax.grad(loss)(table, True, 2)
+    g_ref = jax.grad(loss)(table, False, 1)
+    np.testing.assert_allclose(np.asarray(g_rep), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_hash_encode_pallas_grad_exact():
     from instance_nerf_tpu.models.hashgrid import hash_encode
 
