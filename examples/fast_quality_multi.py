@@ -38,6 +38,7 @@ def main(argv=None):
     p.add_argument("--base_res", type=int, default=32)
     p.add_argument("--n_features", type=int, default=2)
     p.add_argument("--pallas_replicas", type=int, default=1)
+    p.add_argument("--k_occupied", type=int, default=32)
     args = p.parse_args(argv)
 
     import jax
@@ -54,7 +55,8 @@ def main(argv=None):
 
     configs = [
         ("fast", lambda: fast_ngp_config(
-            num_instances=5, n_rays=4096, n_samples=96, k_occupied=32,
+            num_instances=5, n_rays=4096, n_samples=96,
+            k_occupied=args.k_occupied,
             occ_res=64, occ_coarse_res=32, pallas_grad=True,
             table_size=2 ** args.table_log2, n_levels=args.n_levels,
             dense_res=args.dense_res, base_res=args.base_res,
