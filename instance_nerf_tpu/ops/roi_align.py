@@ -118,7 +118,12 @@ def roi_align_3d(
                     * wys[:, None, :, None]
                     * wzs[:, None, None, :]
                 )[..., None]
-                term = vals * wgt
+                # accumulate in the FEATURE dtype: promoting bf16
+                # features to f32 here doubles the (K, OW, OL, OH, C)
+                # temps that dominate the mask branch's peak HBM (the
+                # spc>2 RCNN scan OOM, chain3) — corner weights round to
+                # bf16 only when the caller already chose bf16 compute
+                term = vals * wgt.astype(vals.dtype)
                 out = term if out is None else out + term
 
     if s > 1:
