@@ -45,6 +45,9 @@ def main(argv=None):
                         "straight to the RCNN stage")
     p.add_argument("--rcnn_steps_per_call", type=int, default=8,
                    help="RCNN updates per dispatch (lax.scan)")
+    p.add_argument("--no_device_data", action="store_true",
+                   help="disable the device-resident train split (falls "
+                        "back to per-step host batch uploads)")
     p.add_argument("--unfreeze_backbone", action="store_true",
                    help="fine-tune the backbone during RCNN training "
                         "(deviates from run_rcnn.py:403-427 freezing; "
@@ -161,6 +164,7 @@ def main(argv=None):
         steps_per_call=args.rcnn_steps_per_call,
         freeze_backbone=not args.unfreeze_backbone,
         lr=args.rcnn_lr,
+        device_data=not args.no_device_data,
     )
     rt = RCNNTrainer(rcfg)
     t2 = time.time()

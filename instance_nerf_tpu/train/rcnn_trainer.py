@@ -80,6 +80,12 @@ class RCNNConfig:
     # updates dispatched per device call (lax.scan); >1 amortizes the
     # ~1.3 s/dispatch axon-tunnel host overhead (BENCH_NOTES.md)
     steps_per_call: int = 1
+    # upload the whole train split to HBM ONCE (grids as bf16, voxel
+    # masks bit-packed — ~1.9 GB at 45 scenes @160^3/max_gt 16) and
+    # gather batches by scene index on device. Without this every step
+    # re-uploads ~390 MB of grids+masks; through the ~55 MB/s axon
+    # tunnel that is ~20 s/step — 100x the device step time
+    device_data: bool = False
 
 
 def make_rcnn_step_fn(model, tx, cfg, mask_slots: int):
@@ -210,6 +216,130 @@ class RCNNTrainer:
                                  self.mask_slots)
         return jax.jit(step) if jit_step else step
 
+    # -- device-resident dataset (cfg.device_data) ---------------------------
+
+    def _build_device_store(self, ds):
+        """Stack the whole train split on device: grids bf16, voxel masks
+        bit-packed uint8, everything else at natural dtype. One upload,
+        then batches are on-device gathers by scene index."""
+        cfg = self.cfg
+        shape = (cfg.resolution,) * 3
+        grids, sizes, gtb, gtl, gtm, vpk, rois, rm = ([] for _ in range(8))
+        for i in range(len(ds)):
+            b = ds.batch([i], shape, max_gt=cfg.max_gt,
+                         max_rois=cfg.max_rois)
+            # per-scene device_put keeps host peak at one scene
+            grids.append(jnp.asarray(b.grids[0], jnp.bfloat16))
+            sizes.append(b.grid_sizes[0])
+            gtb.append(b.gt_boxes[0])
+            gtl.append(b.gt_labels[0].astype(np.int32))
+            gtm.append(b.gt_mask[0])
+            vpk.append(jnp.asarray(np.packbits(
+                b.gt_voxel_masks[0].reshape(cfg.max_gt, -1), axis=-1)))
+            rois.append(b.rois[0])
+            rm.append(b.roi_mask[0])
+        return {
+            "grids": jnp.stack(grids),
+            "grid_sizes": jnp.asarray(np.stack(sizes)),
+            "rois": jnp.asarray(np.stack(rois)),
+            "roi_mask": jnp.asarray(np.stack(rm)),
+            "gt_boxes": jnp.asarray(np.stack(gtb)),
+            "gt_labels": jnp.asarray(np.stack(gtl)),
+            "gt_mask": jnp.asarray(np.stack(gtm)),
+            "vmasks_packed": jnp.stack(vpk),
+        }
+
+    def _make_index_step(self, store, spc: int):
+        """Step fed by SCENE INDICES — batch assembly is on-device gathers
+        from the resident store (zero per-step host uploads)."""
+        cfg = self.cfg
+        step = make_rcnn_step_fn(self.model, self.tx, cfg, self.mask_slots)
+        r = cfg.resolution
+        fields = ("grids", "grid_sizes", "rois", "roi_mask", "gt_boxes",
+                  "gt_labels", "gt_mask")
+
+        def unpack(pk):  # (B, G, r^3/8) uint8 -> (B, G, r, r, r) uint8
+            shifts = (7 - jnp.arange(8, dtype=jnp.uint8))
+            bits = (pk[..., None] >> shifts) & jnp.uint8(1)
+            return bits.reshape(pk.shape[0], pk.shape[1], r, r, r)
+
+        def one(params, opt_state, key, idx):
+            args = [jnp.take(store[f], idx, axis=0) for f in fields]
+            vm = unpack(jnp.take(store["vmasks_packed"], idx, axis=0))
+            return step(params, opt_state, key, *args, vm)
+
+        if spc <= 1:
+            return jax.jit(one)
+
+        def scan_steps(params, opt_state, key, idxs):  # idxs (spc, B)
+            def body(carry, idx):
+                p, o, k = carry
+                k, sk = jax.random.split(k)
+                p, o, m = one(p, o, sk, idx)
+                return (p, o, k), m
+
+            (params, opt_state, _), ms = jax.lax.scan(
+                body, (params, opt_state, key), idxs)
+            return params, opt_state, jax.tree.map(lambda x: x[-1], ms)
+
+        return jax.jit(scan_steps)
+
+    def _train_loop_device(self, ds, val):
+        """Epoch loop over the device-resident store: the host only draws
+        the permutation and sends (spc, B) int32 scene indices."""
+        cfg = self.cfg
+        t_up = time.time()
+        store = self._build_device_store(ds)
+        jax.block_until_ready(store["grids"])
+        log.info("device store: %d scenes uploaded in %.1fs", len(ds),
+                 time.time() - t_up)
+        spc = max(1, cfg.steps_per_call)
+        fn = self._make_index_step(store, spc)
+        fn1 = fn if spc == 1 else self._make_index_step(store, 1)
+        rng = np.random.default_rng(cfg.seed)
+        steps_per_epoch = max(1, len(ds) // cfg.batch_size)
+        gstep = 0
+        for epoch in range(cfg.num_epochs):
+            order = rng.permutation(len(ds))
+            # steps_per_epoch * batch_size <= len(ds): the tail is dropped
+            idxs = order[: steps_per_epoch * cfg.batch_size].reshape(
+                steps_per_epoch, cfg.batch_size).astype(np.int32)
+            t0 = time.time()
+            sidx = 0
+            while sidx < steps_per_epoch:
+                k = min(spc, steps_per_epoch - sidx)
+                self.key, sk = jax.random.split(self.key)
+                if spc > 1 and k == spc:
+                    self.params, self.opt_state, metrics = fn(
+                        self.params, self.opt_state, sk,
+                        jnp.asarray(idxs[sidx: sidx + k]))
+                else:
+                    for j in range(k):
+                        sk, s2 = jax.random.split(sk)
+                        self.params, self.opt_state, metrics = fn1(
+                            self.params, self.opt_state, s2,
+                            jnp.asarray(idxs[sidx + j]))
+                # sync each dispatch (tunnel host-OOM discipline)
+                float(metrics["total"])
+                gstep += k
+                sidx += k
+                if gstep % cfg.log_interval < k:
+                    mm = {kk: float(v) for kk, v in metrics.items()}
+                    log.info(
+                        "epoch %d step %d: total=%.4f cls=%.4f box=%.4f mask=%.4f npos=%d (%.2fs/it)",
+                        epoch, gstep, mm["total"], mm["loss_classifier"],
+                        mm["loss_box_reg"], mm["loss_mask"],
+                        int(mm["num_pos"]), (time.time() - t0) / max(sidx, 1),
+                    )
+            if (epoch + 1) % cfg.eval_interval == 0:
+                metrics = self.eval(val)
+                log.info("epoch %d eval: %s", epoch, json.dumps(metrics))
+                if self.ckpt:
+                    self.ckpt.save(gstep, self.params, config=asdict(cfg),
+                                   metrics=metrics)
+        if self.ckpt:
+            self.ckpt.save(gstep, self.params, config=asdict(cfg))
+
     def train_loop(self):
         cfg = self.cfg
         ds = SegmentationDataset("train", cfg.dataset_root,
@@ -220,6 +350,8 @@ class RCNNTrainer:
                                   cache=cfg.cache_scenes)
         if self.params is None:
             self.init_state()
+        if cfg.device_data:
+            return self._train_loop_device(ds, val)
         step_fn = self._make_step()
         spc = max(1, cfg.steps_per_call)
         if spc > 1:

@@ -1,0 +1,51 @@
+"""Device-resident RCNN train loop (cfg.device_data): the whole split
+uploads once (grids bf16, voxel masks bit-packed) and batches are
+on-device index gathers. End-to-end on a tiny synthetic dataset."""
+import json
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _write_tiny(root):
+    from instance_nerf_tpu.data.synthetic import write_dataset
+
+    write_dataset(root, num_scenes=4, grid_size=(16, 16, 16), num_boxes=2,
+                  splits=(0.75, 0.25))
+
+
+def test_device_data_loop_runs_and_packbits_roundtrip(tmp_path):
+    from instance_nerf_tpu.data.datasets import SegmentationDataset
+    from instance_nerf_tpu.train.rcnn_trainer import RCNNConfig, RCNNTrainer
+
+    root = str(tmp_path / "ds")
+    _write_tiny(root)
+    cfg = RCNNConfig(
+        dataset_root=root, resolution=16, batch_size=2, num_epochs=2,
+        steps_per_call=2, device_data=True, eval_interval=10 ** 9,
+        batch_size_per_image=16, max_rois=32, max_gt=4,
+        dtype="float32", freeze_backbone=False,
+    )
+    tr = RCNNTrainer(cfg)
+    tr.init_state()
+
+    # packbits store roundtrips exactly against the raw batch masks
+    ds = SegmentationDataset("train", root)
+    store = tr._build_device_store(ds)
+    b0 = ds.batch([0], (16,) * 3, max_gt=4, max_rois=32)
+    fn = tr._make_index_step(store, 1)
+    # reach the unpack through a gather: compare against raw uint8 masks
+    pk = jnp.take(store["vmasks_packed"], jnp.asarray([0]), axis=0)
+    shifts = 7 - jnp.arange(8, dtype=jnp.uint8)
+    bits = ((pk[..., None] >> shifts) & jnp.uint8(1)).reshape(1, 4, 16, 16, 16)
+    np.testing.assert_array_equal(np.asarray(bits[0]),
+                                  b0.gt_voxel_masks[0])
+
+    # the loop itself: scan path (spc=2) + finite losses
+    import jax
+
+    tr.train_loop()
+    p, o, m = fn(tr.params, tr.opt_state, jax.random.key(0),
+                 jnp.asarray([0, 1], jnp.int32))
+    assert np.isfinite(float(m["total"]))
