@@ -106,6 +106,62 @@ class FCOSConfig:
     # hold decoded grids in host RAM (one decompress per scene instead of
     # one per epoch — the single-core host is the data bottleneck)
     preload: bool = False
+    # upload the whole train split to HBM once (grids bf16) and gather
+    # batches by scene index on device; flip/rot90 augmentation runs
+    # on-device (rot_scale_prob must be 0 — that resample is host-only).
+    # Kills the per-step grid upload (~130 MB/step at bs 2 x 160^3 —
+    # ~10-20 s/step through the axon tunnel)
+    device_data: bool = False
+
+
+def device_augment(key, g, size, boxes, flip_p: float, rot_p: float,
+                   obb: bool):
+    """On-device mirror of ``augment_rpn_inputs`` (rot90 -> flip W ->
+    flip L) for ONE padded scene. Flips/rotations act on the padded cube,
+    then the content (extent ``size``, zero padding) is rolled back to
+    the origin. rot_scale (trilinear resample) stays host-only.
+
+    g (W, L, H, 4) with W == L; size (3,) f32; boxes (K, 6|7).
+    """
+    kr, kw, kl = jax.random.split(key, 3)
+    s0 = size[0].astype(jnp.int32)
+    s1 = size[1].astype(jnp.int32)
+
+    def roll(x, extent, axis):
+        return jnp.roll(x, extent - x.shape[axis], axis=axis)
+
+    # --- rot90 about z: swap W/L then flip the new W (augment.py:13-25)
+    do_r = jax.random.uniform(kr) < rot_p
+    g_r = roll(jnp.flip(jnp.swapaxes(g, 0, 1), axis=0), s1, 0)
+    b_r = boxes[:, [1, 0, 2, 4, 3, 5]] if not obb else jnp.concatenate(
+        [boxes[:, [1, 0, 2, 4, 3, 5]], boxes[:, 6:]], axis=-1)
+    if obb:
+        b_r = b_r.at[:, 0].set(size[1] - b_r[:, 0])
+    else:
+        new0 = size[1] - b_r[:, 3]
+        new3 = size[1] - b_r[:, 0]
+        b_r = b_r.at[:, 0].set(new0).at[:, 3].set(new3)
+    g = jnp.where(do_r, g_r, g)
+    boxes = jnp.where(do_r, b_r, boxes)
+    size = jnp.where(do_r, size[jnp.asarray([1, 0, 2])], size)
+    s0 = size[0].astype(jnp.int32)
+    s1 = size[1].astype(jnp.int32)
+
+    # --- per-axis flips (augment.py:27-38)
+    for axis, k, ext in ((0, kw, s0), (1, kl, s1)):
+        do_f = jax.random.uniform(k) < flip_p
+        g_f = roll(jnp.flip(g, axis=axis), ext, axis)
+        extf = ext.astype(boxes.dtype)
+        if obb:
+            b_f = boxes.at[:, axis].set(extf - boxes[:, axis])
+            b_f = b_f.at[:, 6].set(-b_f[:, 6])
+        else:
+            lo = extf - boxes[:, axis + 3]
+            hi = extf - boxes[:, axis]
+            b_f = boxes.at[:, axis].set(lo).at[:, axis + 3].set(hi)
+        g = jnp.where(do_f, g_f, g)
+        boxes = jnp.where(do_f, b_f, boxes)
+    return g, size, boxes
 
 
 class FCOSTrainer:
@@ -196,6 +252,121 @@ class FCOSTrainer:
 
     # -- train --------------------------------------------------------------
 
+    # -- device-resident dataset (cfg.device_data) ---------------------------
+
+    def _build_device_store(self, ds):
+        cfg = self.cfg
+        bd = 7 if cfg.rotated_bbox else 6
+        grids, sizes, gt, gtm = [], [], [], []
+        for i in range(len(ds)):
+            b = ds.batch([i], self._pad_shape, max_gt=cfg.max_gt,
+                         box_dim=bd, augment=False)
+            grids.append(jnp.asarray(b.grids[0], jnp.bfloat16))
+            sizes.append(b.grid_sizes[0])
+            gt.append(b.gt_boxes[0])
+            gtm.append(b.gt_mask[0])
+        return {
+            "grids": jnp.stack(grids),
+            "grid_sizes": jnp.asarray(np.stack(sizes)),
+            "gt_boxes": jnp.asarray(np.stack(gt)),
+            "gt_mask": jnp.asarray(np.stack(gtm)),
+        }
+
+    def _make_index_step(self, store, spc: int, step_kw: dict):
+        cfg = self.cfg
+        assert cfg.rot_scale_prob == 0.0, (
+            "device_data cannot replicate the host-side rotate+scale "
+            "resample; set rot_scale_prob=0 or device_data=False"
+        )
+        raw = make_fcos_train_step(self.model, self.tx, mesh=None,
+                                   jit_step=False, **step_kw)
+        obb = cfg.rotated_bbox
+
+        def one(state, key, idx):
+            g = jnp.take(store["grids"], idx, axis=0)
+            s = jnp.take(store["grid_sizes"], idx, axis=0)
+            bx = jnp.take(store["gt_boxes"], idx, axis=0)
+            m = jnp.take(store["gt_mask"], idx, axis=0)
+            keys = jax.random.split(key, idx.shape[0])
+            g, s, bx = jax.vmap(
+                lambda k_, g_, s_, b_: device_augment(
+                    k_, g_, s_, b_, cfg.flip_prob, cfg.rotate_prob, obb)
+            )(keys, g, s, bx)
+            return raw(state, g, s, bx, m)
+
+        if spc <= 1:
+            return jax.jit(one)
+
+        def scan_steps(state, key, idxs):  # (spc, B)
+            def body(carry, idx):
+                st, k = carry
+                k, sk = jax.random.split(k)
+                st, metrics = one(st, sk, idx)
+                return (st, k), metrics
+
+            (state, _), ms = jax.lax.scan(body, (state, key), idxs)
+            return state, jax.tree.map(lambda x: x[-1], ms)
+
+        return jax.jit(scan_steps)
+
+    def _train_loop_device(self, train_ds, val_ds, step_kw, start_epoch,
+                           steps_per_epoch):
+        cfg = self.cfg
+        t_up = time.time()
+        store = self._build_device_store(train_ds)
+        jax.block_until_ready(store["grids"])
+        log.info("device store: %d scenes uploaded in %.1fs", len(train_ds),
+                 time.time() - t_up)
+        spc = max(1, cfg.steps_per_call)
+        fn = self._make_index_step(store, spc, step_kw)
+        fn1 = fn if spc == 1 else self._make_index_step(store, 1, step_kw)
+        rng = np.random.default_rng(cfg.seed + start_epoch)
+        key = jax.random.key(cfg.seed + 17 + start_epoch)
+        gstep = start_epoch * steps_per_epoch
+        for epoch in range(start_epoch, cfg.num_epochs):
+            order = rng.permutation(len(train_ds))
+            n_used = steps_per_epoch * cfg.batch_size
+            if n_used > len(order):  # len(ds) < batch_size: wrap
+                order = np.tile(order, -(-n_used // len(order)))
+            idxs = order[:n_used].reshape(
+                steps_per_epoch, cfg.batch_size).astype(np.int32)
+            t0 = time.time()
+            s = 0
+            while s < steps_per_epoch:
+                k = min(spc, steps_per_epoch - s)
+                key, sk = jax.random.split(key)
+                if spc > 1 and k == spc:
+                    self.state, metrics = fn(self.state, sk,
+                                             jnp.asarray(idxs[s: s + k]))
+                else:
+                    for j in range(k):
+                        sk, s2 = jax.random.split(sk)
+                        self.state, metrics = fn1(self.state, s2,
+                                                  jnp.asarray(idxs[s + j]))
+                float(metrics["total"])  # sync (tunnel host-OOM discipline)
+                gstep += k
+                s += k
+                if gstep % cfg.log_interval < k:
+                    m = {kk: float(v) for kk, v in metrics.items()}
+                    log.info(
+                        "epoch %d step %d: total=%.4f cls=%.4f reg=%.4f ctr=%.4f (%.2fs/it)",
+                        epoch, gstep, m["total"], m["loss_cls"],
+                        m["loss_reg"], m["loss_centerness"],
+                        (time.time() - t0) / max(s, 1),
+                    )
+            if val_ds and (epoch + 1) % cfg.eval_interval == 0:
+                metrics = self.eval(val_ds)
+                log.info("epoch %d eval: %s", epoch, json.dumps(metrics))
+                if self.ckpt:
+                    self.ckpt.save(gstep, self.state,
+                                   config=asdict(self.cfg), metrics=metrics)
+            elif self.ckpt and ((epoch + 1) % cfg.eval_interval == 0
+                                or (cfg.save_interval and
+                                    (epoch + 1) % cfg.save_interval == 0)):
+                self.ckpt.save(gstep, self.state, config=asdict(self.cfg))
+        if self.ckpt:
+            self.ckpt.save(gstep, self.state, config=asdict(self.cfg))
+
     def train_loop(self):
         cfg = self.cfg
         train_ds = self.make_dataset("train")
@@ -219,6 +390,9 @@ class FCOSTrainer:
             use_obb=cfg.rotated_bbox,
             remat=cfg.remat,
         )
+        if cfg.device_data:
+            return self._train_loop_device(train_ds, val_ds, step_kw,
+                                           start_epoch, steps_per_epoch)
         spc = max(1, cfg.steps_per_call)
         if spc > 1:
             from instance_nerf_tpu.parallel.train_step import (
