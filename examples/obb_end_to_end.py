@@ -72,6 +72,7 @@ def main(argv=None):
         num_epochs=args.epochs,
         eval_interval=10 ** 9,  # AABB eval metrics don't apply; eval below
         preload=True,
+        device_data=True,  # grids resident in HBM; no per-step uploads
         max_gt=16,  # rooms have <=9 boxes; shrinks pairwise target tensors
         remat=True,
         steps_per_call=4,
