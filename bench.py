@@ -102,18 +102,24 @@ def extra_instance_field_rays_per_s() -> dict:
     )
 
     trainer = InstanceFieldTrainer(
-        fast_ngp_config(k_occupied=32, occ_coarse_res=32))
+        fast_ngp_config(k_occupied=32, occ_coarse_res=32,
+                        table_size=2 ** 15, n_levels=3, n_features=4))
     r = trainer.benchmark_train(reps=20, stage="instance")
     return {"rays_per_s": round(r["rays_per_s"]),
             "step_ms": round(r["step_ms"], 2),
             "n_rays": trainer.cfg.n_rays, "k_occupied": 32,
-            "encoding": "fast"}
+            "encoding": "fast", "table_log2": 15, "levels": 3,
+            "features": 4}
 
 
 def extra_field_pretrain_rgb_rays_per_s() -> dict:
     """NeRF-pretraining (rgb) stage: the stage that UPDATES the
     hash/brick tables (the instance stage stop-gradients the field —
-    BENCH_NOTES round-3 decomposition). Pallas scatter-add table VJP."""
+    BENCH_NOTES round-3 decomposition). Config = the probe10/12 winner:
+    T=2^15 tables (XLA scatter is collision-ratio-bound, small tables
+    win), 3 levels x 4 features row packing (scatter cost is
+    row-width-free to W=32, so fewer/wider rows), XLA grad (the Pallas
+    kernel only wins the high-collision regime N/T >~ 8)."""
     from instance_nerf_tpu.train.ngp_trainer import (
         InstanceFieldTrainer,
         fast_ngp_config,
@@ -121,12 +127,13 @@ def extra_field_pretrain_rgb_rays_per_s() -> dict:
 
     trainer = InstanceFieldTrainer(
         fast_ngp_config(k_occupied=32, occ_coarse_res=32,
-                        pallas_grad=True))
+                        table_size=2 ** 15, n_levels=3, n_features=4))
     r = trainer.benchmark_train(reps=20, stage="rgb")
     return {"rays_per_s": round(r["rays_per_s"]),
             "step_ms": round(r["step_ms"], 2),
             "n_rays": trainer.cfg.n_rays, "k_occupied": 32,
-            "encoding": "fast", "pallas_grad": True}
+            "encoding": "fast", "table_log2": 15, "levels": 3,
+            "features": 4}
 
 
 def extra_fcos_train_step_ms() -> dict:

@@ -54,6 +54,9 @@ def main(argv=None):
                         "lets color features survive the objectness-"
                         "trained backbone)")
     p.add_argument("--rcnn_lr", type=float, default=1e-3)
+    p.add_argument("--rcnn_save_interval", type=int, default=4,
+                   help="param-only checkpoint cadence (epochs) between "
+                        "evals — restart insurance for the flaky link")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,
@@ -165,6 +168,7 @@ def main(argv=None):
         freeze_backbone=not args.unfreeze_backbone,
         lr=args.rcnn_lr,
         device_data=not args.no_device_data,
+        save_interval=args.rcnn_save_interval,
     )
     rt = RCNNTrainer(rcfg)
     t2 = time.time()

@@ -272,7 +272,7 @@ class FCOSTrainer:
             "gt_mask": jnp.asarray(np.stack(gtm)),
         }
 
-    def _make_index_step(self, store, spc: int, step_kw: dict):
+    def _make_index_step(self, spc: int, step_kw: dict):
         cfg = self.cfg
         assert cfg.rot_scale_prob == 0.0, (
             "device_data cannot replicate the host-side rotate+scale "
@@ -282,7 +282,11 @@ class FCOSTrainer:
                                    jit_step=False, **step_kw)
         obb = cfg.rotated_bbox
 
-        def one(state, key, idx):
+        # `store` is a jit ARGUMENT, not a closure capture: the axon
+        # remote compiler rejects HTTP bodies with large embedded
+        # constants (observed 413 at 16x160^3 grids), and arguments
+        # also dodge re-tracing per store identity.
+        def one(state, key, idx, store):
             g = jnp.take(store["grids"], idx, axis=0)
             s = jnp.take(store["grid_sizes"], idx, axis=0)
             bx = jnp.take(store["gt_boxes"], idx, axis=0)
@@ -297,11 +301,11 @@ class FCOSTrainer:
         if spc <= 1:
             return jax.jit(one)
 
-        def scan_steps(state, key, idxs):  # (spc, B)
+        def scan_steps(state, key, idxs, store):  # (spc, B)
             def body(carry, idx):
                 st, k = carry
                 k, sk = jax.random.split(k)
-                st, metrics = one(st, sk, idx)
+                st, metrics = one(st, sk, idx, store)
                 return (st, k), metrics
 
             (state, _), ms = jax.lax.scan(body, (state, key), idxs)
@@ -318,8 +322,8 @@ class FCOSTrainer:
         log.info("device store: %d scenes uploaded in %.1fs", len(train_ds),
                  time.time() - t_up)
         spc = max(1, cfg.steps_per_call)
-        fn = self._make_index_step(store, spc, step_kw)
-        fn1 = fn if spc == 1 else self._make_index_step(store, 1, step_kw)
+        fn = self._make_index_step(spc, step_kw)
+        fn1 = fn if spc == 1 else self._make_index_step(1, step_kw)
         rng = np.random.default_rng(cfg.seed + start_epoch)
         key = jax.random.key(cfg.seed + 17 + start_epoch)
         gstep = start_epoch * steps_per_epoch
@@ -337,12 +341,14 @@ class FCOSTrainer:
                 key, sk = jax.random.split(key)
                 if spc > 1 and k == spc:
                     self.state, metrics = fn(self.state, sk,
-                                             jnp.asarray(idxs[s: s + k]))
+                                             jnp.asarray(idxs[s: s + k]),
+                                             store)
                 else:
                     for j in range(k):
                         sk, s2 = jax.random.split(sk)
                         self.state, metrics = fn1(self.state, s2,
-                                                  jnp.asarray(idxs[s + j]))
+                                                  jnp.asarray(idxs[s + j]),
+                                                  store)
                 float(metrics["total"])  # sync (tunnel host-OOM discipline)
                 gstep += k
                 s += k

@@ -86,14 +86,27 @@ class RCNNConfig:
     # re-uploads ~390 MB of grids+masks; through the ~55 MB/s axon
     # tunnel that is ~20 s/step — 100x the device step time
     device_data: bool = False
+    # param-only checkpoint cadence (epochs) between evals — 0 disables.
+    # Long runs through the flaky axon link otherwise lose everything
+    # before the first eval_interval checkpoint (observed: 8 epochs).
+    save_interval: int = 0
 
 
-def make_rcnn_step_fn(model, tx, cfg, mask_slots: int):
+def make_rcnn_step_fn(model, tx, cfg, mask_slots: int,
+                      precomputed_feats: bool = False):
     """Raw (traceable) RoI-head train step — shared by the single-device
     trainer (jax.jit) and the sharded SPMD wrapper
     (parallel/train_step.make_rcnn_train_step). Mirrors the reference's
     RCNN update (run_rcnn.py:505-560: sample -> heads -> cls+box+mask
-    losses -> clipped AdamW with the backbone frozen)."""
+    losses -> clipped AdamW with the backbone frozen).
+
+    ``precomputed_feats``: the ``grids`` argument is the 4-level FPN
+    pyramid (tuple of (B, w, l, h, 256) arrays) instead of raw voxels —
+    the frozen-backbone training path never runs the backbone (the
+    reference's precomputed level_features trick, datasets.py:500-664).
+    With a frozen backbone and raw grids, features are computed OUTSIDE
+    the differentiated function: requires_grad=False semantics
+    (run_rcnn.py:403-427) — no backbone backward, no held activations."""
     m = mask_slots
 
     def step(params, opt_state, key, grids, grid_sizes, rois, roi_valid,
@@ -116,8 +129,20 @@ def make_rcnn_step_fn(model, tx, cfg, mask_slots: int):
             s.rois, s.pos, s.labels, s.matched_gt_idx
         )
 
+        frozen_feats = None
+        if precomputed_feats:
+            frozen_feats = grids  # already the 4-level pyramid
+        elif cfg.freeze_backbone:
+            frozen_feats = jax.lax.stop_gradient(
+                model.apply(params, grids, method=NeRF_RCNN.features))
+
         def loss_fn(p):
-            feats, logits, deltas = model.apply(p, grids, s.rois)
+            if frozen_feats is not None:
+                feats = frozen_feats
+                logits, deltas = model.apply(
+                    p, feats, s.rois, method=NeRF_RCNN.box_forward)
+            else:
+                feats, logits, deltas = model.apply(p, grids, s.rois)
             cls_loss, box_loss = fastrcnn_loss(
                 logits, deltas, s.labels, s.reg_targets, s.valid
             )
@@ -221,15 +246,30 @@ class RCNNTrainer:
     def _build_device_store(self, ds):
         """Stack the whole train split on device: grids bf16, voxel masks
         bit-packed uint8, everything else at natural dtype. One upload,
-        then batches are on-device gathers by scene index."""
+        then batches are on-device gathers by scene index.
+
+        Frozen backbone: the FPN pyramid is computed ONCE per scene here
+        and stored INSTEAD of the raw grids (the reference's precomputed
+        level_features path, datasets.py:500-664) — training then never
+        touches the backbone (~37 MB/scene bf16, about the raw-grid
+        footprint)."""
         cfg = self.cfg
         shape = (cfg.resolution,) * 3
+        featurize = None
+        if cfg.freeze_backbone:
+            featurize = jax.jit(lambda p, g: self.model.apply(
+                p, g, method=NeRF_RCNN.features))
         grids, sizes, gtb, gtl, gtm, vpk, rois, rm = ([] for _ in range(8))
+        feats = []
         for i in range(len(ds)):
             b = ds.batch([i], shape, max_gt=cfg.max_gt,
                          max_rois=cfg.max_rois)
             # per-scene device_put keeps host peak at one scene
-            grids.append(jnp.asarray(b.grids[0], jnp.bfloat16))
+            g = jnp.asarray(b.grids[0], jnp.bfloat16)
+            if featurize is not None:
+                feats.append(featurize(self.params, g[None]))
+            else:
+                grids.append(g)
             sizes.append(b.grid_sizes[0])
             gtb.append(b.gt_boxes[0])
             gtl.append(b.gt_labels[0].astype(np.int32))
@@ -238,8 +278,7 @@ class RCNNTrainer:
                 b.gt_voxel_masks[0].reshape(cfg.max_gt, -1), axis=-1)))
             rois.append(b.rois[0])
             rm.append(b.roi_mask[0])
-        return {
-            "grids": jnp.stack(grids),
+        store = {
             "grid_sizes": jnp.asarray(np.stack(sizes)),
             "rois": jnp.asarray(np.stack(rois)),
             "roi_mask": jnp.asarray(np.stack(rm)),
@@ -248,14 +287,25 @@ class RCNNTrainer:
             "gt_mask": jnp.asarray(np.stack(gtm)),
             "vmasks_packed": jnp.stack(vpk),
         }
+        if featurize is not None:
+            n_levels = len(feats[0])
+            store["feats"] = tuple(
+                jnp.concatenate([f[lv] for f in feats], axis=0)
+                for lv in range(n_levels))
+        else:
+            store["grids"] = jnp.stack(grids)
+        return store
 
-    def _make_index_step(self, store, spc: int):
+    def _make_index_step(self, spc: int):
         """Step fed by SCENE INDICES — batch assembly is on-device gathers
-        from the resident store (zero per-step host uploads)."""
+        from the resident store (zero per-step host uploads). The store is
+        a jit ARGUMENT: the axon remote compiler 413s on large captured
+        constants (see CLAUDE.md)."""
         cfg = self.cfg
-        step = make_rcnn_step_fn(self.model, self.tx, cfg, self.mask_slots)
+        step = make_rcnn_step_fn(self.model, self.tx, cfg, self.mask_slots,
+                                 precomputed_feats=cfg.freeze_backbone)
         r = cfg.resolution
-        fields = ("grids", "grid_sizes", "rois", "roi_mask", "gt_boxes",
+        fields = ("grid_sizes", "rois", "roi_mask", "gt_boxes",
                   "gt_labels", "gt_mask")
 
         def unpack(pk):  # (B, G, r^3/8) uint8 -> (B, G, r, r, r) uint8
@@ -263,19 +313,23 @@ class RCNNTrainer:
             bits = (pk[..., None] >> shifts) & jnp.uint8(1)
             return bits.reshape(pk.shape[0], pk.shape[1], r, r, r)
 
-        def one(params, opt_state, key, idx):
+        def one(params, opt_state, key, idx, store):
+            if cfg.freeze_backbone:
+                g = tuple(jnp.take(lv, idx, axis=0) for lv in store["feats"])
+            else:
+                g = jnp.take(store["grids"], idx, axis=0)
             args = [jnp.take(store[f], idx, axis=0) for f in fields]
             vm = unpack(jnp.take(store["vmasks_packed"], idx, axis=0))
-            return step(params, opt_state, key, *args, vm)
+            return step(params, opt_state, key, g, *args, vm)
 
         if spc <= 1:
             return jax.jit(one)
 
-        def scan_steps(params, opt_state, key, idxs):  # idxs (spc, B)
+        def scan_steps(params, opt_state, key, idxs, store):  # idxs (spc, B)
             def body(carry, idx):
                 p, o, k = carry
                 k, sk = jax.random.split(k)
-                p, o, m = one(p, o, sk, idx)
+                p, o, m = one(p, o, sk, idx, store)
                 return (p, o, k), m
 
             (params, opt_state, _), ms = jax.lax.scan(
@@ -290,12 +344,14 @@ class RCNNTrainer:
         cfg = self.cfg
         t_up = time.time()
         store = self._build_device_store(ds)
-        jax.block_until_ready(store["grids"])
-        log.info("device store: %d scenes uploaded in %.1fs", len(ds),
-                 time.time() - t_up)
+        jax.block_until_ready(store.get("grids", store.get("feats")))
+        log.info("device store: %d scenes uploaded in %.1fs%s", len(ds),
+                 time.time() - t_up,
+                 " (precomputed FPN feats, frozen backbone)"
+                 if "feats" in store else "")
         spc = max(1, cfg.steps_per_call)
-        fn = self._make_index_step(store, spc)
-        fn1 = fn if spc == 1 else self._make_index_step(store, 1)
+        fn = self._make_index_step(spc)
+        fn1 = fn if spc == 1 else self._make_index_step(1)
         rng = np.random.default_rng(cfg.seed)
         steps_per_epoch = max(1, len(ds) // cfg.batch_size)
         gstep = 0
@@ -312,13 +368,13 @@ class RCNNTrainer:
                 if spc > 1 and k == spc:
                     self.params, self.opt_state, metrics = fn(
                         self.params, self.opt_state, sk,
-                        jnp.asarray(idxs[sidx: sidx + k]))
+                        jnp.asarray(idxs[sidx: sidx + k]), store)
                 else:
                     for j in range(k):
                         sk, s2 = jax.random.split(sk)
                         self.params, self.opt_state, metrics = fn1(
                             self.params, self.opt_state, s2,
-                            jnp.asarray(idxs[sidx + j]))
+                            jnp.asarray(idxs[sidx + j]), store)
                 # sync each dispatch (tunnel host-OOM discipline)
                 float(metrics["total"])
                 gstep += k
@@ -337,6 +393,9 @@ class RCNNTrainer:
                 if self.ckpt:
                     self.ckpt.save(gstep, self.params, config=asdict(cfg),
                                    metrics=metrics)
+            elif (self.ckpt and cfg.save_interval
+                  and (epoch + 1) % cfg.save_interval == 0):
+                self.ckpt.save(gstep, self.params, config=asdict(cfg))
         if self.ckpt:
             self.ckpt.save(gstep, self.params, config=asdict(cfg))
 
@@ -418,6 +477,9 @@ class RCNNTrainer:
                 if self.ckpt:
                     self.ckpt.save(gstep, self.params, config=asdict(cfg),
                                    metrics=metrics)
+            elif (self.ckpt and cfg.save_interval
+                  and (epoch + 1) % cfg.save_interval == 0):
+                self.ckpt.save(gstep, self.params, config=asdict(cfg))
         if self.ckpt:
             self.ckpt.save(gstep, self.params, config=asdict(cfg))
 

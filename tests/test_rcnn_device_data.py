@@ -34,7 +34,7 @@ def test_device_data_loop_runs_and_packbits_roundtrip(tmp_path):
     ds = SegmentationDataset("train", root)
     store = tr._build_device_store(ds)
     b0 = ds.batch([0], (16,) * 3, max_gt=4, max_rois=32)
-    fn = tr._make_index_step(store, 1)
+    fn = tr._make_index_step(1)
     # reach the unpack through a gather: compare against raw uint8 masks
     pk = jnp.take(store["vmasks_packed"], jnp.asarray([0]), axis=0)
     shifts = 7 - jnp.arange(8, dtype=jnp.uint8)
@@ -47,5 +47,56 @@ def test_device_data_loop_runs_and_packbits_roundtrip(tmp_path):
 
     tr.train_loop()
     p, o, m = fn(tr.params, tr.opt_state, jax.random.key(0),
-                 jnp.asarray([0, 1], jnp.int32))
+                 jnp.asarray([0, 1], jnp.int32), store)
     assert np.isfinite(float(m["total"]))
+
+
+def test_frozen_backbone_precomputed_feats_matches_raw(tmp_path):
+    """freeze_backbone + device_data stores the FPN pyramid instead of
+    grids (reference's precomputed level_features, datasets.py:500-664);
+    one step through it must match the raw-grid frozen step exactly."""
+    import jax
+
+    from instance_nerf_tpu.data.datasets import SegmentationDataset
+    from instance_nerf_tpu.train.rcnn_trainer import (
+        RCNNConfig, RCNNTrainer, make_rcnn_step_fn,
+    )
+
+    root = str(tmp_path / "ds")
+    _write_tiny(root)
+    cfg = RCNNConfig(
+        dataset_root=root, resolution=16, batch_size=2, num_epochs=1,
+        steps_per_call=1, device_data=True, eval_interval=10 ** 9,
+        batch_size_per_image=16, max_rois=32, max_gt=4,
+        dtype="float32", freeze_backbone=True,
+    )
+    tr = RCNNTrainer(cfg)
+    tr.init_state()
+    ds = SegmentationDataset("train", root)
+    store = tr._build_device_store(ds)
+    assert "feats" in store and "grids" not in store
+
+    idx = jnp.asarray([0, 1], jnp.int32)
+    key = jax.random.key(3)
+    fn = tr._make_index_step(1)
+    p1, o1, m1 = fn(tr.params, tr.opt_state, key, idx, store)
+
+    # raw-grid frozen step on the same batch
+    raw = make_rcnn_step_fn(tr.model, tr.tx, cfg, tr.mask_slots)
+    b = ds.batch([0, 1], (16,) * 3, max_gt=4, max_rois=32)
+    p2, o2, m2 = jax.jit(raw)(
+        tr.params, tr.opt_state, key,
+        jnp.asarray(b.grids, jnp.float32), jnp.asarray(b.grid_sizes),
+        jnp.asarray(b.rois), jnp.asarray(b.roi_mask),
+        jnp.asarray(b.gt_boxes), jnp.asarray(b.gt_labels.astype(np.int32)),
+        jnp.asarray(b.gt_mask), jnp.asarray(b.gt_voxel_masks),
+    )
+    np.testing.assert_allclose(float(m1["total"]), float(m2["total"]),
+                               rtol=2e-4)
+    # backbone params must be untouched by the update
+    flat1 = jax.tree_util.tree_leaves(
+        {k: v for k, v in p1["params"].items() if k == "backbone"})
+    flat0 = jax.tree_util.tree_leaves(
+        {k: v for k, v in tr.params["params"].items() if k == "backbone"})
+    for a, b_ in zip(flat1, flat0):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
