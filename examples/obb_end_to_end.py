@@ -68,6 +68,11 @@ def main(argv=None):
         resolution=args.resolution,
         rotated_bbox=True,
         iou_loss_type="iou",
+        # direct smooth-L1 on the midpoint offsets (alpha/beta) — the
+        # reference's tight-theta lever (loss.py:570-577, run_fcos.py:107);
+        # rotated-IoU alone plateaus at loose theta (obb_e2e recall@0.5
+        # 0.45 at 80 epochs with IoU-only)
+        use_additional_l1_loss=True,
         batch_size=args.batch_size,
         num_epochs=args.epochs,
         eval_interval=10 ** 9,  # AABB eval metrics don't apply; eval below

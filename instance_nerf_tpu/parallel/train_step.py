@@ -67,6 +67,7 @@ def make_fcos_train_step(
     center_sampling_radius: float = 1.5,
     iou_loss_type: str = "iou",
     use_obb: bool = False,
+    use_additional_l1_loss: bool = False,
     jit_step: bool = True,
     remat: bool = False,
 ):
@@ -95,6 +96,7 @@ def make_fcos_train_step(
                 center_sampling_radius=center_sampling_radius,
                 iou_loss_type=iou_loss_type,
                 use_obb=use_obb,
+                use_additional_l1_loss=use_additional_l1_loss,
             )
             total = (
                 losses["loss_cls"]

@@ -394,6 +394,7 @@ class FCOSTrainer:
             center_sampling_radius=cfg.center_sampling_radius,
             iou_loss_type=cfg.iou_loss_type,
             use_obb=cfg.rotated_bbox,
+            use_additional_l1_loss=cfg.use_additional_l1_loss,
             remat=cfg.remat,
         )
         if cfg.device_data:

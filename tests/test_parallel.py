@@ -307,3 +307,37 @@ def test_rcnn_train_loop_scan_smoke(tmp_path):
     )
     t = RCNNTrainer(cfg)
     t.train_loop()
+
+
+def test_fcos_train_step_additional_l1_plumbed():
+    """use_additional_l1_loss must reach fcos_loss through
+    make_fcos_train_step (regression: the kwarg existed on FCOSConfig and
+    fcos_loss but was dropped by the step factory, silently training OBB
+    without the reference's midpoint-offset L1 — loss.py:570-577)."""
+    from instance_nerf_tpu.models.backbones import VGG_FPN
+    from instance_nerf_tpu.models.fcos import FCOSOverNeRF
+    from instance_nerf_tpu.parallel.train_step import (
+        init_fcos_state,
+        make_fcos_train_step,
+        make_optimizer,
+    )
+
+    model = FCOSOverNeRF(backbone=VGG_FPN(cfg="AF", input_size=160),
+                         use_obb=True)
+    tx = make_optimizer(lr=1e-3, total_steps=2)
+    g = 32
+    rng = np.random.default_rng(1)
+    grids = jnp.asarray(rng.uniform(0, 1, (1, g, g, g, 4)), jnp.float32)
+    sizes = jnp.full((1, 3), float(g), jnp.float32)
+    gt = jnp.asarray([[[14.0, 14, 12, 12, 8, 10, 0.4]]], jnp.float32)
+    gtm = jnp.ones((1, 1), bool)
+
+    state = init_fcos_state(model, tx, grids)
+    base = make_fcos_train_step(model, tx, use_obb=True)
+    with_l1 = make_fcos_train_step(model, tx, use_obb=True,
+                                   use_additional_l1_loss=True)
+    _, m0 = base(state, grids, sizes, gt, gtm)
+    _, m1 = with_l1(state, grids, sizes, gt, gtm)
+    assert np.isfinite(float(m1["loss_reg"]))
+    # the aux L1 adds a non-negative term that is nonzero for random init
+    assert float(m1["loss_reg"]) > float(m0["loss_reg"])
