@@ -154,12 +154,24 @@ def make_rcnn_step_fn(model, tx, cfg, mask_slots: int,
                                         mmidx, mpos)
             )
             total = cls_loss + box_loss + mloss
+            # train-time classification accuracy over the sampled rois —
+            # the diagnostic that separates "class head never learns"
+            # from "learns in-train but fails held-out" (the probes in
+            # BENCH_NOTES show the path itself is correct)
+            pred = jnp.argmax(logits, axis=-1)
+            correct = (pred == s.labels)
+            acc = jnp.sum(jnp.where(s.valid, correct, False)) / jnp.maximum(
+                jnp.sum(s.valid), 1)
+            fg_acc = jnp.sum(jnp.where(s.pos, correct, False)) / jnp.maximum(
+                jnp.sum(s.pos), 1)
             return total, {
                 "loss_classifier": cls_loss,
                 "loss_box_reg": box_loss,
                 "loss_mask": mloss,
                 "total": total,
                 "num_pos": jnp.sum(s.pos),
+                "cls_acc": acc,
+                "fg_cls_acc": fg_acc,
             }
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -357,6 +369,8 @@ class RCNNTrainer:
         gstep = 0
         for epoch in range(cfg.num_epochs):
             order = rng.permutation(len(ds))
+            if len(ds) < cfg.batch_size:  # tiny split: sample with repeats
+                order = rng.integers(0, len(ds), cfg.batch_size)
             # steps_per_epoch * batch_size <= len(ds): the tail is dropped
             idxs = order[: steps_per_epoch * cfg.batch_size].reshape(
                 steps_per_epoch, cfg.batch_size).astype(np.int32)
@@ -382,10 +396,12 @@ class RCNNTrainer:
                 if gstep % cfg.log_interval < k:
                     mm = {kk: float(v) for kk, v in metrics.items()}
                     log.info(
-                        "epoch %d step %d: total=%.4f cls=%.4f box=%.4f mask=%.4f npos=%d (%.2fs/it)",
+                        "epoch %d step %d: total=%.4f cls=%.4f box=%.4f mask=%.4f npos=%d acc=%.3f fg_acc=%.3f (%.2fs/it)",
                         epoch, gstep, mm["total"], mm["loss_classifier"],
                         mm["loss_box_reg"], mm["loss_mask"],
-                        int(mm["num_pos"]), (time.time() - t0) / max(sidx, 1),
+                        int(mm["num_pos"]), mm.get("cls_acc", -1.0),
+                        mm.get("fg_cls_acc", -1.0),
+                        (time.time() - t0) / max(sidx, 1),
                     )
             if (epoch + 1) % cfg.eval_interval == 0:
                 metrics = self.eval(val)
@@ -466,9 +482,10 @@ class RCNNTrainer:
                 if gstep % cfg.log_interval < k:
                     mm = {kk: float(v) for kk, v in metrics.items()}
                     log.info(
-                        "epoch %d step %d: total=%.4f cls=%.4f box=%.4f mask=%.4f npos=%d (%.2fs/it)",
+                        "epoch %d step %d: total=%.4f cls=%.4f box=%.4f mask=%.4f npos=%d acc=%.3f fg_acc=%.3f (%.2fs/it)",
                         epoch, gstep, mm["total"], mm["loss_classifier"],
                         mm["loss_box_reg"], mm["loss_mask"], int(mm["num_pos"]),
+                        mm.get("cls_acc", -1.0), mm.get("fg_cls_acc", -1.0),
                         (time.time() - t0) / max(sidx, 1),
                     )
             if (epoch + 1) % cfg.eval_interval == 0:
