@@ -585,6 +585,10 @@ class RCNNTrainer:
                                               iou_thresh=thr, iou_type="mask")
             out[f"mask_mAP_{int(thr*100)}"] = nmean(ap_m)
             out[f"mask_AR_{int(thr*100)}"] = nmean(rec_m)
+            if thr == 0.25:  # per-class breakdown: which classes drag mAP
+                out["box_AP_25_per_class"] = [
+                    None if np.isnan(x) else round(float(x), 4)
+                    for x in np.asarray(ap[1:], np.float64)]
         return out
 
     # -- misc -----------------------------------------------------------------
