@@ -54,6 +54,12 @@ def main(argv=None):
                         "lets color features survive the objectness-"
                         "trained backbone)")
     p.add_argument("--rcnn_lr", type=float, default=1e-3)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU platform (the axon sitecustomize "
+                        "overrides JAX_PLATFORMS; see CLAUDE.md)")
+    p.add_argument("--rcnn_bspi", type=int, default=512,
+                   help="sampled rois per image (CPU diag runs use less)")
+    p.add_argument("--rcnn_max_rois", type=int, default=128)
     p.add_argument("--rcnn_save_interval", type=int, default=4,
                    help="param-only checkpoint cadence (epochs) between "
                         "evals — restart insurance for the flaky link")
@@ -63,6 +69,8 @@ def main(argv=None):
                         format="%(asctime)s %(name)s: %(message)s")
     import jax
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     import numpy as np
 
@@ -160,8 +168,9 @@ def main(argv=None):
         num_epochs=args.rcnn_epochs,
         eval_interval=max(args.rcnn_epochs // 5, 1),
         max_gt=16,
-        max_rois=128,
-        eval_rois=64,
+        max_rois=args.rcnn_max_rois,
+        eval_rois=min(64, args.rcnn_max_rois),
+        batch_size_per_image=args.rcnn_bspi,
         cache_scenes=True,
         seed=args.seed,
         steps_per_call=args.rcnn_steps_per_call,
