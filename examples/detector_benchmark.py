@@ -4,9 +4,10 @@ VERDICT round-1 item 4: prove the FCOS -> RCNN training recipe converges
 beyond a single overfit scene. Generates N synthetic 160^3 rooms
 (floor/walls + class-conditioned furniture, 10 3D-FRONT classes), trains
 FCOS on the train split, evaluates proposal Recall/AP on the held-out
-val split, exports FCOS proposals for every scene, trains the RCNN RoI
-heads on them (backbone grafted + frozen, the reference's recipe —
-run_rcnn.py:163-176), and evaluates class-aware box+mask mAP on val.
+val split, exports FCOS proposals for every scene, trains the RCNN (backbone
+grafted from the RPN ckpt and fine-tuned with the heads, the reference's
+canonical recipe — train_rcnn.sh, run_rcnn.py:410-427), and evaluates
+class-aware box+mask mAP on val.
 
 Writes eval.json with all metrics. Run (TPU, ~30-60 min):
   python examples/detector_benchmark.py --root /tmp/synbench \
@@ -48,11 +49,11 @@ def main(argv=None):
     p.add_argument("--no_device_data", action="store_true",
                    help="disable the device-resident train split (falls "
                         "back to per-step host batch uploads)")
-    p.add_argument("--unfreeze_backbone", action="store_true",
-                   help="fine-tune the backbone during RCNN training "
-                        "(deviates from run_rcnn.py:403-427 freezing; "
-                        "lets color features survive the objectness-"
-                        "trained backbone)")
+    p.add_argument("--freeze_backbone", action="store_true",
+                   help="freeze the grafted backbone during RCNN training "
+                        "(the reference's OPTIONAL --freeze_backbone mode, "
+                        "run_rcnn.py:346-348; the canonical train_rcnn.sh "
+                        "recipe trains the backbone — the default here)")
     p.add_argument("--rcnn_lr", type=float, default=1e-3)
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU platform (the axon sitecustomize "
@@ -174,7 +175,7 @@ def main(argv=None):
         cache_scenes=True,
         seed=args.seed,
         steps_per_call=args.rcnn_steps_per_call,
-        freeze_backbone=not args.unfreeze_backbone,
+        freeze_backbone=args.freeze_backbone,
         lr=args.rcnn_lr,
         device_data=not args.no_device_data,
         save_interval=args.rcnn_save_interval,
@@ -198,7 +199,7 @@ def main(argv=None):
             "fcos_epochs": args.fcos_epochs,
             "rcnn_epochs": args.rcnn_epochs,
             "batch_size": args.batch_size,
-            "unfreeze_backbone": args.unfreeze_backbone,
+            "freeze_backbone": args.freeze_backbone,
         },
         "fcos_val": fcos_metrics,
         "rcnn_val": rcnn_metrics,

@@ -1,11 +1,16 @@
 """NeRF-RCNN trainer: RoI-head training over precomputed proposals.
 
 Capability parity with ``nerf_rcnn/run_rcnn.py`` (SURVEY.md §2.12): loads
-an RPN checkpoint and freezes backbone(+rpn) weights (run_rcnn.py:403-427
-via requires_grad=False -> here an optax.masked optimizer), trains the
-RoI heads on the SegmentationDataset's precomputed rois
-(``use_input_rois``), evaluates 3D box+mask mAP/AR and exports top-k
-masks npz per scene (run_rcnn.py:605-726), benchmark + check_arch modes.
+an RPN checkpoint, grafts its backbone, and trains backbone + RoI heads
+on the SegmentationDataset's precomputed rois (``use_input_rois``) with
+AdamW + OneCycle (run_rcnn.py:493-497). NOTE the reference freezes only
+the (unused) *rpn_head* (run_rcnn.py:406-427); the backbone stays
+TRAINABLE — ``--freeze_backbone`` (run_rcnn.py:346-348) is off in the
+canonical recipe (train_rcnn.sh) and only applies to the anchor-RPN
+branch. ``freeze_backbone=True`` here reproduces that optional mode via
+an optax.masked optimizer (+ precomputed-FPN fast path). Evaluates 3D
+box+mask mAP/AR and exports top-k masks npz per scene
+(run_rcnn.py:605-726), benchmark + check_arch modes.
 """
 from __future__ import annotations
 
@@ -61,7 +66,12 @@ class RCNNConfig:
     log_interval: int = 20
     eval_interval: int = 5
     keep_checkpoints: int = 2
-    freeze_backbone: bool = True
+    # Reference parity: the canonical recipe (train_rcnn.sh) trains the
+    # backbone during RCNN training — only the unused rpn_head is frozen
+    # (run_rcnn.py:406-427). True reproduces the optional
+    # --freeze_backbone mode (run_rcnn.py:346-348) and enables the
+    # precomputed-FPN-features fast path.
+    freeze_backbone: bool = False
     # RoI head params (run_rcnn defaults)
     batch_size_per_image: int = 512
     positive_fraction: float = 0.25
@@ -98,7 +108,7 @@ def make_rcnn_step_fn(model, tx, cfg, mask_slots: int,
     trainer (jax.jit) and the sharded SPMD wrapper
     (parallel/train_step.make_rcnn_train_step). Mirrors the reference's
     RCNN update (run_rcnn.py:505-560: sample -> heads -> cls+box+mask
-    losses -> clipped AdamW with the backbone frozen).
+    losses -> clipped AdamW; backbone trainable per train_rcnn.sh).
 
     ``precomputed_feats``: the ``grids`` argument is the 4-level FPN
     pyramid (tuple of (B, w, l, h, 256) arrays) instead of raw voxels —
@@ -106,7 +116,7 @@ def make_rcnn_step_fn(model, tx, cfg, mask_slots: int,
     reference's precomputed level_features trick, datasets.py:500-664).
     With a frozen backbone and raw grids, features are computed OUTSIDE
     the differentiated function: requires_grad=False semantics
-    (run_rcnn.py:403-427) — no backbone backward, no held activations."""
+    (run_rcnn.py:346-348) — no backbone backward, no held activations."""
     m = mask_slots
 
     def step(params, opt_state, key, grids, grid_sizes, rois, roi_valid,
@@ -213,7 +223,10 @@ class RCNNTrainer:
 
     # -- state ----------------------------------------------------------------
 
-    def init_state(self, example_batch=None):
+    def init_state(self, example_batch=None, total_steps=None):
+        """``total_steps`` enables the reference's OneCycle schedule
+        (run_rcnn.py:496-497: max_lr=lr over num_epochs*len(loader));
+        None (benchmark/check_arch paths) keeps a constant lr."""
         cfg = self.cfg
         g = 32
         grids = jnp.zeros((1, g, g, g, 4))
@@ -234,9 +247,11 @@ class RCNNTrainer:
             self.params, meta = mgr.restore(self.params)
             log.info("restored RCNN ckpt step=%s", meta.get("step"))
 
-        base = optax.chain(
-            optax.clip_by_global_norm(cfg.clip_grad_norm),
-            optax.adamw(cfg.lr, weight_decay=cfg.weight_decay),
+        from instance_nerf_tpu.parallel.train_step import make_optimizer
+
+        base = make_optimizer(
+            lr=cfg.lr, weight_decay=cfg.weight_decay,
+            clip_grad_norm=cfg.clip_grad_norm, total_steps=total_steps,
         )
         if cfg.freeze_backbone:
             self.tx = partition_optimizer(
@@ -424,7 +439,8 @@ class RCNNTrainer:
                                   cfg.dataset_split or None,
                                   cache=cfg.cache_scenes)
         if self.params is None:
-            self.init_state()
+            total_steps = cfg.num_epochs * max(1, len(ds) // cfg.batch_size)
+            self.init_state(total_steps=total_steps)
         if cfg.device_data:
             return self._train_loop_device(ds, val)
         step_fn = self._make_step()
