@@ -1,6 +1,7 @@
 #!/usr/bin/env bash
 # Canonical NeRF-RCNN training config (parity with train_rcnn.sh:
-# frozen RPN backbone, 200 epochs, lr 1e-3, input rois).
+# backbone grafted from the RPN ckpt and fine-tuned, 200 epochs,
+# lr 1e-3 OneCycle, input rois).
 set -xe
 DATA_ROOT=${DATA_ROOT:-/path/to/dataset/root}
 

@@ -17,7 +17,7 @@ def build_parser():
     p.add_argument("--dataset_root", default="")
     p.add_argument("--dataset_split", default="")
     p.add_argument("--save_path", default="")
-    p.add_argument("--rpn_ckpt", default="", help="RPN checkpoint; its backbone is grafted + frozen")
+    p.add_argument("--rpn_ckpt", default="", help="RPN checkpoint; its backbone is grafted then fine-tuned (frozen only with --freeze_backbone)")
     p.add_argument("--rcnn_ckpt", default="")
     p.add_argument("--rpn_type", choices=["anchor", "fcos"], default="fcos")
     p.add_argument("--backbone_type", default="vgg_EF")
@@ -34,7 +34,9 @@ def build_parser():
     p.add_argument("--log_to_file", action="store_true")
     p.add_argument("--eval_interval", type=int, default=5)
     p.add_argument("--keep_checkpoints", type=int, default=2)
-    p.add_argument("--no_freeze_backbone", action="store_true")
+    # mirrors the reference CLI (run_rcnn.py:59): off by default — the
+    # canonical recipe (train_rcnn.sh) trains the backbone
+    p.add_argument("--freeze_backbone", action="store_true")
     p.add_argument("--rpn_batch_size_per_mesh", type=int, default=256)
     p.add_argument("--batch_size_per_image", type=int, default=512)
     p.add_argument("--positive_fraction", type=float, default=0.25)
@@ -74,7 +76,7 @@ def config_from_args(args):
         eval_interval=args.eval_interval,
         keep_checkpoints=args.keep_checkpoints,
         steps_per_call=args.steps_per_call,
-        freeze_backbone=not args.no_freeze_backbone,
+        freeze_backbone=args.freeze_backbone,
         batch_size_per_image=args.batch_size_per_image,
         positive_fraction=args.positive_fraction,
         fg_iou_thresh=args.box_fg_iou_thresh,

@@ -655,6 +655,7 @@ class FCOSTrainer:
             reg_loss_weight=cfg.reg_loss_weight,
             center_sampling_radius=cfg.center_sampling_radius,
             iou_loss_type=cfg.iou_loss_type, use_obb=cfg.rotated_bbox,
+            use_additional_l1_loss=cfg.use_additional_l1_loss,
             jit_step=False,
         )
         rng = np.random.default_rng(0)

@@ -140,7 +140,8 @@ def test_rcnn_scan_step_matches_sequential():
     )
     from instance_nerf_tpu.train.train_utils import partition_optimizer
 
-    cfg = RCNNConfig(batch_size_per_image=8, num_classes=3)
+    cfg = RCNNConfig(batch_size_per_image=8, num_classes=3,
+                     freeze_backbone=True)
     model = RC.NeRF_RCNN(
         backbone=VGG_FPN(cfg="AF", input_size=160),
         num_classes=3,
@@ -206,7 +207,8 @@ def test_rcnn_sharded_step_matches_single_device():
     )
     from instance_nerf_tpu.train.train_utils import partition_optimizer
 
-    cfg = RCNNConfig(batch_size_per_image=16, num_classes=4)
+    cfg = RCNNConfig(batch_size_per_image=16, num_classes=4,
+                     freeze_backbone=True)
     model = RC.NeRF_RCNN(
         backbone=VGG_FPN(cfg="AF", input_size=160),
         num_classes=4,

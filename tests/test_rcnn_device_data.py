@@ -100,3 +100,24 @@ def test_frozen_backbone_precomputed_feats_matches_raw(tmp_path):
         {k: v for k, v in tr.params["params"].items() if k == "backbone"})
     for a, b_ in zip(flat1, flat0):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+def test_reference_recipe_defaults():
+    """The canonical reference recipe (train_rcnn.sh) trains the backbone
+    (only the unused rpn_head is frozen, run_rcnn.py:406-427) with
+    AdamW + OneCycle (run_rcnn.py:493-497). Pin both here so the default
+    never silently regresses to the frozen mode again."""
+    import optax
+
+    from instance_nerf_tpu.parallel.train_step import make_optimizer
+    from instance_nerf_tpu.train.rcnn_trainer import RCNNConfig
+
+    assert RCNNConfig().freeze_backbone is False
+
+    # make_optimizer(total_steps) must produce a warmup->peak->decay lr
+    sched = optax.cosine_onecycle_schedule(transition_steps=100,
+                                           peak_value=1e-3)
+    tx = make_optimizer(lr=1e-3, total_steps=100)
+    assert tx is not None
+    lrs = [float(sched(s)) for s in (0, 30, 99)]
+    assert lrs[1] > lrs[0] and lrs[1] > lrs[2]
