@@ -61,6 +61,10 @@ def main(argv=None):
     p.add_argument("--rcnn_bspi", type=int, default=512,
                    help="sampled rois per image (CPU diag runs use less)")
     p.add_argument("--rcnn_max_rois", type=int, default=128)
+    p.add_argument("--rcnn_remat", action="store_true",
+                   help="rematerialize the backbone forward in the RCNN "
+                        "backward (needed for the trainable-backbone "
+                        "recipe at batch 4 x 160^3, like FCOS)")
     p.add_argument("--rcnn_save_interval", type=int, default=4,
                    help="param-only checkpoint cadence (epochs) between "
                         "evals — restart insurance for the flaky link")
@@ -179,6 +183,7 @@ def main(argv=None):
         lr=args.rcnn_lr,
         device_data=not args.no_device_data,
         save_interval=args.rcnn_save_interval,
+        remat=args.rcnn_remat,
     )
     rt = RCNNTrainer(rcfg)
     t2 = time.time()

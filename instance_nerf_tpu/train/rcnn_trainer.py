@@ -100,6 +100,11 @@ class RCNNConfig:
     # Long runs through the flaky axon link otherwise lose everything
     # before the first eval_interval checkpoint (observed: 8 epochs).
     save_interval: int = 0
+    # rematerialize the backbone forward in the backward pass — the
+    # trainable-backbone recipe at batch 4 x 160^3 otherwise holds the
+    # full VGG activation pyramid through the RoI-head backward (the
+    # same footprint that forced remat in the FCOS trainer)
+    remat: bool = False
 
 
 def make_rcnn_step_fn(model, tx, cfg, mask_slots: int,
@@ -146,13 +151,19 @@ def make_rcnn_step_fn(model, tx, cfg, mask_slots: int,
             frozen_feats = jax.lax.stop_gradient(
                 model.apply(params, grids, method=NeRF_RCNN.features))
 
+        def feat_fn(p, g):
+            return model.apply(p, g, method=NeRF_RCNN.features)
+
+        if getattr(cfg, "remat", False):
+            feat_fn = jax.checkpoint(feat_fn)
+
         def loss_fn(p):
             if frozen_feats is not None:
                 feats = frozen_feats
-                logits, deltas = model.apply(
-                    p, feats, s.rois, method=NeRF_RCNN.box_forward)
             else:
-                feats, logits, deltas = model.apply(p, grids, s.rois)
+                feats = feat_fn(p, grids)
+            logits, deltas = model.apply(
+                p, feats, s.rois, method=NeRF_RCNN.box_forward)
             cls_loss, box_loss = fastrcnn_loss(
                 logits, deltas, s.labels, s.reg_targets, s.valid
             )

@@ -121,3 +121,62 @@ def test_reference_recipe_defaults():
     assert tx is not None
     lrs = [float(sched(s)) for s in (0, 30, 99)]
     assert lrs[1] > lrs[0] and lrs[1] > lrs[2]
+
+
+def test_remat_step_matches_no_remat():
+    """cfg.remat only changes the autodiff schedule (backbone forward is
+    recomputed in the backward), never the math: one step from identical
+    state must produce identical losses and identical updated params."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from instance_nerf_tpu.models import rcnn as RC
+    from instance_nerf_tpu.models.backbones import VGG_FPN
+    from instance_nerf_tpu.train.rcnn_trainer import (
+        RCNNConfig, make_rcnn_step_fn,
+    )
+
+    g, b, p, k = 16, 1, 4, 2
+    model = RC.NeRF_RCNN(
+        backbone=VGG_FPN(cfg="AF", input_size=160), num_classes=3,
+        input_shape=(g, g, g),
+    )
+    rng = np.random.default_rng(7)
+    grids = jnp.asarray(rng.uniform(0, 1, (b, g, g, g, 4)), jnp.float32)
+    sizes = jnp.full((b, 3), float(g))
+    lo = rng.uniform(0, g * 0.5, (b, p, 3))
+    hi = lo + rng.uniform(3, g * 0.4, (b, p, 3))
+    rois = jnp.asarray(np.concatenate([lo, np.minimum(hi, g)], -1),
+                       jnp.float32)
+    glo = rng.uniform(0, g * 0.5, (b, k, 3))
+    ghi = glo + rng.uniform(3, g * 0.4, (b, k, 3))
+    gt = jnp.asarray(np.concatenate([glo, np.minimum(ghi, g)], -1),
+                     jnp.float32)
+    gt_labels = jnp.asarray(rng.integers(1, 3, (b, k)), jnp.int32)
+    gt_mask = jnp.ones((b, k), bool)
+    roi_valid = jnp.ones((b, p), bool)
+    vmasks = jnp.asarray(rng.uniform(0, 1, (b, k, g, g, g)) < 0.2,
+                         jnp.uint8)
+    params = model.init(jax.random.key(1), grids, rois[:, :2],
+                        with_masks=True)
+    tx = optax.adamw(1e-3)
+    opt = tx.init(params)
+    args = (jax.random.key(2), grids, sizes, rois, roi_valid, gt,
+            gt_labels, gt_mask, vmasks)
+
+    outs = {}
+    for remat in (False, True):
+        cfg = RCNNConfig(batch_size_per_image=8, num_classes=3,
+                         freeze_backbone=False, remat=remat)
+        step = jax.jit(make_rcnn_step_fn(model, tx, cfg, mask_slots=2))
+        outs[remat] = step(params, opt, *args)
+
+    for (pa, _, ma), (pb, _, mb) in [(outs[False], outs[True])]:
+        np.testing.assert_allclose(float(ma["total"]), float(mb["total"]),
+                                   rtol=1e-6)
+        leaves_a = jax.tree.leaves(pa)
+        leaves_b = jax.tree.leaves(pb)
+        for la, lb in zip(leaves_a, leaves_b):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       atol=1e-6)
