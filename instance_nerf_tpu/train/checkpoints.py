@@ -22,6 +22,19 @@ def _tree_to_numpy(tree):
     return jax.tree_util.tree_map(np.asarray, tree)
 
 
+def _jsonable(v):
+    """Metric values may be scalars OR structured (e.g. per-class AP
+    lists with Nones for absent classes) — keep anything JSON-native,
+    coerce numpy/jax scalars to float."""
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, (list, tuple)):
+        return [_jsonable(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _jsonable(x) for k, x in v.items()}
+    return float(v)
+
+
 class CheckpointManager:
     """Step-indexed checkpoints under ``dir/step_N`` + ``dir/best``.
 
@@ -66,7 +79,7 @@ class CheckpointManager:
         meta = {
             "step": step,
             "config": config or {},
-            "metrics": {k: float(v) for k, v in (metrics or {}).items()},
+            "metrics": {k: _jsonable(v) for k, v in (metrics or {}).items()},
         }
         if self.best_metric and metrics and self.best_metric in metrics:
             meta["metric_value"] = float(metrics[self.best_metric])

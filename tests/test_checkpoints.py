@@ -48,3 +48,23 @@ def test_restore_any_no_template(tmp_path):
     state, meta = mgr.restore_any()
     np.testing.assert_allclose(np.asarray(state["params"]["w"]), 7.0)
     assert load_embedded_config(str(tmp_path))["backbone"] == "vgg_EF"
+
+
+def test_save_with_structured_metrics(tmp_path):
+    """Eval metrics may carry per-class AP lists with Nones for absent
+    classes (rcnn eval since the per-class breakdown) — save() must not
+    choke on non-scalar values (regression: float() on a list killed
+    the 48^3 recipe-validation run at its first eval save)."""
+    mgr = CheckpointManager(str(tmp_path), keep=2, best_metric="box_mAP_25")
+    metrics = {
+        "box_mAP_25": 0.25,
+        "box_AP_25_per_class": [0.0, 0.5, None, 0.25],
+        "nested": {"a": 1, "b": [None, 2.0]},
+        "npfloat": np.float32(0.125),
+    }
+    mgr.save(1, make_state(1), config={"lr": 1e-3}, metrics=metrics)
+    _, meta = mgr.restore_any(step=1)
+    assert meta["metrics"]["box_AP_25_per_class"] == [0.0, 0.5, None, 0.25]
+    assert meta["metrics"]["nested"] == {"a": 1, "b": [None, 2.0]}
+    assert meta["metrics"]["npfloat"] == 0.125
+    assert meta["metric_value"] == 0.25
