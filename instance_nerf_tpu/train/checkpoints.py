@@ -94,9 +94,15 @@ class CheckpointManager:
     # -- load ---------------------------------------------------------------
 
     def all_steps(self) -> list[int]:
+        """Committed steps only: ``meta.json`` is written LAST in
+        ``_write`` and so acts as the commit marker — a save interrupted
+        mid-write (crash, tunnel death) leaves ``state`` without it and
+        must not be offered for resume."""
         steps = []
         for d in os.listdir(self.dir):
-            if d.startswith("step_"):
+            if d.startswith("step_") and os.path.isfile(
+                os.path.join(self.dir, d, "meta.json")
+            ):
                 try:
                     steps.append(int(d.split("_")[1]))
                 except ValueError:

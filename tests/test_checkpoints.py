@@ -68,3 +68,20 @@ def test_save_with_structured_metrics(tmp_path):
     assert meta["metrics"]["nested"] == {"a": 1, "b": [None, 2.0]}
     assert meta["metrics"]["npfloat"] == 0.125
     assert meta["metric_value"] == 0.25
+
+
+def test_torn_checkpoint_not_offered_for_resume(tmp_path):
+    """A save interrupted after the state write but before meta.json
+    (crash/tunnel death) must be invisible to latest_step/restore
+    (regression: resume picked the torn step_40 and died on meta.json)."""
+    mgr = CheckpointManager(str(tmp_path), keep=3)
+    mgr.save(1, make_state(1), config={})
+    # simulate the torn save: state dir present, no meta.json
+    torn = tmp_path / "step_2"
+    (torn / "state").mkdir(parents=True)
+    os.rename(tmp_path / "step_1" / "meta.json", tmp_path / "keep_meta")
+    os.rename(tmp_path / "keep_meta", tmp_path / "step_1" / "meta.json")
+    assert mgr.all_steps() == [1]
+    assert mgr.latest_step() == 1
+    state, meta = mgr.restore(make_state(0))
+    assert meta["step"] == 1
