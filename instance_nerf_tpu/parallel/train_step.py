@@ -166,6 +166,65 @@ def make_fcos_scan_step(
     )
 
 
+def make_rpn_train_step(model, tx, cfg, mesh=None, jit_step: bool = True):
+    """Sharded anchor-RPN train step — the reference trains the anchor RPN
+    with DDP too (run_rpn.py ``mp.spawn`` + NCCL, train_rpn.sh); here the
+    scene batch rides ``dcn x data``, grids shard spatially on ``sp``
+    (conv halo exchanges inserted by GSPMD), params replicate and the
+    gradient all-reduce is implicit. Signature matches the single-device
+    trainer closure: ``step(state, key, grids, grid_sizes, gt_boxes,
+    gt_mask) -> (state, losses)`` with ``state = (params, opt_state, it)``.
+
+    ``cfg`` is an ``RPNConfig`` (train/rpn_trainer.py) — only its loss /
+    anchor-matching fields are read.
+    """
+    from instance_nerf_tpu.models.rpn import anchor_padding_mask, rpn_loss
+
+    def step(state, key, grids, grid_sizes, gt_boxes, gt_mask):
+        params, opt_state, it = state
+
+        def loss_fn(p):
+            obj, reg, anchors_l, _ = model.apply(p, grids)
+            anchors = jnp.concatenate(anchors_l)
+            pad = anchor_padding_mask(anchors_l, grid_sizes,
+                                      tuple(cfg.fpn_strides))
+            losses = rpn_loss(
+                key, obj, reg, anchors, gt_boxes, gt_mask,
+                batch_size_per_mesh=cfg.batch_size_per_mesh,
+                positive_fraction=cfg.positive_fraction,
+                fg_iou_thresh=cfg.fg_iou_thresh,
+                bg_iou_thresh=cfg.bg_iou_thresh,
+                pad_mask=pad,
+                rotated=cfg.rotated_bbox,
+                reg_loss_type=cfg.reg_loss_type,
+                max_mesh_dim=cfg.resolution,
+                proj2d=cfg.proj2d_loss_weight > 0,
+            )
+            total = losses["loss_objectness"] + losses["loss_rpn_box_reg"]
+            if cfg.proj2d_loss_weight > 0:
+                total = total + cfg.proj2d_loss_weight * losses["loss_rpn_box_reg_2d"]
+            losses["total"] = total
+            return total, losses
+
+        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state, it + 1), losses
+
+    if not jit_step:
+        return step
+    if mesh is None:
+        return jax.jit(step)
+    gs = grid_sharding(mesh)
+    ds = data_sharding(mesh)
+    rep = replicated(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(rep, rep, gs, ds, ds, ds),
+        out_shardings=(rep, rep),
+    )
+
+
 def make_rcnn_train_step(model, tx, cfg, mesh, mask_slots: int | None = None):
     """Sharded RoI-head train step — the reference trains RCNN with DDP
     over 4 GPUs, bs 16 (run_rcnn.py:755-826 ``mp.spawn`` + NCCL +

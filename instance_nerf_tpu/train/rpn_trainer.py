@@ -19,7 +19,6 @@ from dataclasses import asdict, dataclass
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from instance_nerf_tpu.data.datasets import RPNDataset, read_split
 from instance_nerf_tpu.eval.metrics import (
@@ -32,12 +31,14 @@ from instance_nerf_tpu.models.rpn import (
     NeRFRegionProposalNetwork,
     anchor_padding_mask,
     filter_proposals,
-    rpn_loss,
 )
 from instance_nerf_tpu.eval.metrics import box_iou_3d_np
 from instance_nerf_tpu.parallel.mesh import data_axis_size, make_mesh
 from instance_nerf_tpu.train.checkpoints import CheckpointManager
-from instance_nerf_tpu.parallel.train_step import make_optimizer
+from instance_nerf_tpu.parallel.train_step import (
+    make_optimizer,
+    make_rpn_train_step,
+)
 
 log = logging.getLogger("rpn_trainer")
 
@@ -148,40 +149,11 @@ class RPNTrainer:
             log.info("restored rpn ckpt step=%s", meta.get("step"))
 
     def _make_step(self):
-        cfg = self.cfg
-
-        @jax.jit
-        def step(state, key, grids, grid_sizes, gt_boxes, gt_mask):
-            params, opt_state, it = state
-
-            def loss_fn(p):
-                obj, reg, anchors_l, _ = self.model.apply(p, grids)
-                anchors = jnp.concatenate(anchors_l)
-                pad = anchor_padding_mask(anchors_l, grid_sizes, cfg.fpn_strides)
-                losses = rpn_loss(
-                    key, obj, reg, anchors, gt_boxes, gt_mask,
-                    batch_size_per_mesh=cfg.batch_size_per_mesh,
-                    positive_fraction=cfg.positive_fraction,
-                    fg_iou_thresh=cfg.fg_iou_thresh,
-                    bg_iou_thresh=cfg.bg_iou_thresh,
-                    pad_mask=pad,
-                    rotated=cfg.rotated_bbox,
-                    reg_loss_type=cfg.reg_loss_type,
-                    max_mesh_dim=cfg.resolution,
-                    proj2d=cfg.proj2d_loss_weight > 0,
-                )
-                total = losses["loss_objectness"] + losses["loss_rpn_box_reg"]
-                if cfg.proj2d_loss_weight > 0:
-                    total = total + cfg.proj2d_loss_weight * losses["loss_rpn_box_reg_2d"]
-                losses["total"] = total
-                return total, losses
-
-            (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            updates, opt_state = self.tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state, it + 1), losses
-
-        return step
+        # SPMD when the mesh spans >1 device (reference: DDP run_rpn.py);
+        # plain jit otherwise — identical math either way
+        # (test_rpn_sharded_step_matches_single_device)
+        mesh = self.mesh if self.mesh.devices.size > 1 else None
+        return make_rpn_train_step(self.model, self.tx, self.cfg, mesh=mesh)
 
     def train_loop(self):
         cfg = self.cfg
