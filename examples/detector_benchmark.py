@@ -109,6 +109,11 @@ def main(argv=None):
         resume=args.resume,
         rot_scale_prob=0.0,
         preload=True,
+        # one bf16 upload of the train split instead of a 131 MB f32
+        # batch upload per step — through the ~30 MB/s axon tunnel the
+        # per-step upload alone was 4.4 s/it (measured round 3)
+        device_data=True,
+        steps_per_call=4,
         # rooms have <=15 boxes; max_gt=64 blows HBM at batch 4 x 160^3
         # (pairwise target-assignment tensors) — 16 fits with remat
         max_gt=16,
