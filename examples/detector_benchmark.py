@@ -111,8 +111,11 @@ def main(argv=None):
         preload=True,
         # one bf16 upload of the train split instead of a 131 MB f32
         # batch upload per step — through the ~30 MB/s axon tunnel the
-        # per-step upload alone was 4.4 s/it (measured round 3)
-        device_data=True,
+        # per-step upload alone was 4.4 s/it (measured round 3).
+        # NOTE: the device-resident loop trains single-device (plain
+        # jax.jit, no (data, sp) mesh) — correct for this single-chip
+        # benchmark; use --no_device_data for multi-chip SPMD runs
+        device_data=not args.no_device_data,
         steps_per_call=4,
         # rooms have <=15 boxes; max_gt=64 blows HBM at batch 4 x 160^3
         # (pairwise target-assignment tensors) — 16 fits with remat

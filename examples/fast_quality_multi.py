@@ -39,10 +39,27 @@ def main(argv=None):
     p.add_argument("--n_features", type=int, default=2)
     p.add_argument("--pallas_replicas", type=int, default=1)
     p.add_argument("--k_occupied", type=int, default=32)
+    p.add_argument("--arms", default="",
+                   help="comma list of named arms (fast_packed, "
+                        "fast_unpacked, hash) run on the SAME scenes — "
+                        "the controlled A/B for the packed 227k-rays/s "
+                        "config (VERDICT r3 weak #3). Empty = legacy "
+                        "single-fast(+hash) mode driven by the flags "
+                        "above.")
+    p.add_argument("--holdout_views", type=int, default=0,
+                   help="generate this many EXTRA views excluded from "
+                        "training; render PSNR / instance acc are then "
+                        "measured on truly novel views (mean over the "
+                        "holdout) instead of train view 0")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU platform (the axon sitecustomize "
+                        "overrides JAX_PLATFORMS; see CLAUDE.md)")
     args = p.parse_args(argv)
 
     import jax
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     import numpy as np
 
@@ -53,27 +70,54 @@ def main(argv=None):
         fast_ngp_config,
     )
 
-    configs = [
-        ("fast", lambda: fast_ngp_config(
-            num_instances=5, n_rays=4096, n_samples=96,
-            k_occupied=args.k_occupied,
-            occ_res=64, occ_coarse_res=32, pallas_grad=True,
-            table_size=2 ** args.table_log2, n_levels=args.n_levels,
-            dense_res=args.dense_res, base_res=args.base_res,
-            n_features=args.n_features,
-            pallas_replicas=args.pallas_replicas)),
-    ]
-    if not args.skip_hash:
-        configs.append(
-            ("hash", lambda: NGPConfig(
-                num_instances=5, n_rays=4096, n_samples=96, k_occupied=32,
-                occ_res=64, dtype="bfloat16")))
+    fast_common = dict(
+        num_instances=5, n_rays=4096, n_samples=96,
+        k_occupied=args.k_occupied, occ_res=64, occ_coarse_res=32,
+    )
+    # named arms for the controlled A/B (BENCH_NOTES "scatter endgame"):
+    #   fast_packed   — the 227k-rays/s shipping config: T=2^15 tables,
+    #                   3 levels x 4 features (same 12-dim encode), XLA
+    #                   collision-aware scatter (pallas off)
+    #   fast_unpacked — the round-2 config the 7-scene quality table
+    #                   used: T=2^17, 6 levels x 2 features, Pallas VJP
+    ARM_DEFS = {
+        "fast_packed": lambda: fast_ngp_config(
+            table_size=2 ** 15, n_levels=3, n_features=4,
+            pallas_grad=False, **fast_common),
+        "fast_unpacked": lambda: fast_ngp_config(
+            table_size=2 ** 17, n_levels=6, n_features=2,
+            pallas_grad=True, **fast_common),
+        "hash": lambda: NGPConfig(
+            num_instances=5, n_rays=4096, n_samples=96, k_occupied=32,
+            occ_res=64, dtype="bfloat16"),
+    }
+    if args.arms:
+        configs = [(a, ARM_DEFS[a]) for a in args.arms.split(",") if a]
+    else:
+        configs = [
+            ("fast", lambda: fast_ngp_config(
+                pallas_grad=True,
+                table_size=2 ** args.table_log2, n_levels=args.n_levels,
+                dense_res=args.dense_res, base_res=args.base_res,
+                n_features=args.n_features,
+                pallas_replicas=args.pallas_replicas, **fast_common)),
+        ]
+        if not args.skip_hash:
+            configs.append(("hash", ARM_DEFS["hash"]))
+
+    from instance_nerf_tpu.data.nerf_dataset import NeRFScene
 
     rows = []
     for seed in range(args.num_scenes):
         rng = np.random.default_rng(seed)
-        scene, _ = make_synthetic_nerf_scene(rng, n_views=12, hw=(64, 64),
-                                             n_blobs=3)
+        full, _ = make_synthetic_nerf_scene(
+            rng, n_views=12 + args.holdout_views, hw=(64, 64), n_blobs=3)
+        if args.holdout_views:
+            scene = NeRFScene(full.images[:12], full.poses[:12],
+                              full.intrinsics, full.hw, full.masks[:12])
+            eval_views = range(12, 12 + args.holdout_views)
+        else:
+            scene, eval_views = full, range(1)
         for name, mk in configs:
             tr = InstanceFieldTrainer(mk(), seed=seed)
             t0 = time.time()
@@ -81,24 +125,42 @@ def main(argv=None):
                              log_every=0)
             m_inst = tr.train(scene, args.inst_steps, stage="instance",
                               log_every=0)
-            out = tr.render_image(scene.poses[0], scene.intrinsics,
-                                  scene.hw, chunk=4096)
-            mse = float(np.mean((out["rgb"] - scene.images[0]) ** 2))
+            psnrs, accs = [], []
+            for v in eval_views:
+                out = tr.render_image(full.poses[v], full.intrinsics,
+                                      full.hw, chunk=4096)
+                mse = float(np.mean((out["rgb"] - full.images[v]) ** 2))
+                psnrs.append(-10 * np.log10(max(mse, 1e-10)))
+                accs.append(float(
+                    (out["instance"] == full.masks[v]).mean()))
             row = {
                 "scene": seed, "encoding": name,
                 "train_psnr": round(float(m_rgb["psnr"]), 2),
-                "render_psnr_view0": round(-10 * np.log10(max(mse, 1e-10)), 2),
+                "render_psnr_view0": round(float(np.mean(psnrs)), 2),
                 "instance_ce": round(float(m_inst["instance"]), 4),
-                "instance_pixel_acc": round(
-                    float((out["instance"] == scene.masks[0]).mean()), 4),
+                "instance_pixel_acc": round(float(np.mean(accs)), 4),
                 "wall_s": round(time.time() - t0, 1),
             }
             rows.append(row)
             print(json.dumps(row), flush=True)
+            write_partial(rows, configs, args)
+
+    summary = write_partial(rows, configs, args)
+    print("FAST QUALITY MULTI OK", json.dumps(summary), flush=True)
+
+
+def write_partial(rows, configs, args):
+    """Atomic rows+summary write after every arm so a queue timeout
+    loses at most one scene-arm (VERDICT r3: the 4 h window cut the
+    hash arm's last scene; partial results must survive)."""
+    import numpy as np
 
     summary = {}
     for name, _ in configs:
         sel = [r for r in rows if r["encoding"] == name]
+        if not sel:
+            continue
+        summary[f"{name}_n"] = len(sel)
         for k in ("train_psnr", "render_psnr_view0", "instance_ce",
                   "instance_pixel_acc", "wall_s"):
             v = np.asarray([r[k] for r in sel], np.float64)
@@ -109,9 +171,11 @@ def main(argv=None):
                 "max": round(float(v.max()), 3),
             }
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
-    with open(args.out, "w") as f:
+    tmp = args.out + ".tmp"
+    with open(tmp, "w") as f:
         json.dump({"rows": rows, "summary": summary}, f, indent=2)
-    print("FAST QUALITY MULTI OK", json.dumps(summary), flush=True)
+    os.replace(tmp, args.out)
+    return summary
 
 
 if __name__ == "__main__":

@@ -5,8 +5,14 @@ Generates yaw-rotated synthetic rooms, trains FCOS with
 ref: fcos/loss.py:321-380, fcos/utils.py:12-105), and evaluates theta
 recovery on a held-out split with full 3D rotated IoU: for each GT OBB,
 the best-matching proposal's cal_iou_3d. Reports recall@{0.25,0.5,0.7}
-and mean best-IoU; the round-1 acceptance bar is IoU>=0.7 recovery on
-held-out scenes.
+and mean best-IoU.
+
+Chunked (round-4): training runs in --chunk_epochs slices, each followed
+by a rotated-IoU eval and a partial-result write to --out, so a queue
+timeout costs at most one chunk (VERDICT r3 weak #4: the 160-epoch
+continuation was zeroed because results were only written at run end).
+``--resume`` restores the latest checkpoint, so re-running the same
+command continues where the last chunk stopped.
 
 Run (TPU): python examples/obb_end_to_end.py --out examples/results/obb_e2e.json
 """
@@ -29,10 +35,17 @@ def main(argv=None):
     p.add_argument("--resolution", type=int, default=128)
     p.add_argument("--num_boxes", type=int, default=6)
     p.add_argument("--epochs", type=int, default=80)
+    p.add_argument("--chunk_epochs", type=int, default=40,
+                   help="epochs per train->eval->write cycle (0 = all)")
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--skip_gen", action="store_true")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--eval_only", action="store_true",
+                   help="eval the latest checkpoint, write results, exit")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU platform (the axon sitecustomize "
+                        "overrides JAX_PLATFORMS; see CLAUDE.md)")
     args = p.parse_args(argv)
 
     import logging
@@ -41,6 +54,8 @@ def main(argv=None):
                         format="%(asctime)s %(name)s: %(message)s")
     import jax
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     import jax.numpy as jnp
     import numpy as np
@@ -75,6 +90,7 @@ def main(argv=None):
         use_additional_l1_loss=True,
         batch_size=args.batch_size,
         num_epochs=args.epochs,
+        stop_after_epochs=max(0, args.chunk_epochs),
         eval_interval=10 ** 9,  # AABB eval metrics don't apply; eval below
         preload=True,
         device_data=True,  # grids resident in HBM; no per-step uploads
@@ -86,55 +102,83 @@ def main(argv=None):
         seed=args.seed,
     )
     t = FCOSTrainer(cfg)
-    t1 = time.time()
-    t.train_loop()
-    train_s = time.time() - t1
 
     # --- rotated-IoU eval on the held-out split ---------------------------
     from instance_nerf_tpu.ops.rotated_iou import cal_iou_3d
 
-    val = t.make_dataset("val")
-    per_scene = []
-    best_ious_all = []
-    for i in range(len(val)):
-        scene, grid, gt = val.get(i)
-        boxes, scores, _ = t.predict_scene(grid)  # (P, 7) rotated
-        k = min(len(scores), 300)
-        order = np.argsort(-scores)[:k]
-        pb = jnp.asarray(boxes[order], jnp.float32)
-        gtb = jnp.asarray(gt, jnp.float32)
-        iou = np.asarray(cal_iou_3d(gtb[:, None, :], pb[None, :, :]))
-        best = iou.max(axis=1) if iou.size else np.zeros(len(gt))
-        best_ious_all.extend(best.tolist())
-        # theta diagnosis: |wrapped angle error| of each GT's best match
-        # (distinguishes "theta collapses to 0" from "size/center off")
-        if iou.size:
-            bidx = iou.argmax(axis=1)
-            dth = np.asarray(gt)[:, 6] - np.asarray(boxes[order])[bidx, 6]
-            dth = np.abs((dth + np.pi / 2) % np.pi - np.pi / 2)
-        else:
-            dth = np.zeros(len(gt))
-        per_scene.append({"scene": scene, "gt": int(len(gt)),
-                          "best_iou_mean": float(best.mean()),
-                          "theta_err_deg_mean": float(np.degrees(dth).mean())})
-        print(f"[eval] {scene}: mean best rotated IoU {best.mean():.3f} "
-              f"(min {best.min():.3f})", flush=True)
+    def evaluate(val, epochs_done, train_s):
+        per_scene = []
+        best_ious_all = []
+        for i in range(len(val)):
+            scene, grid, gt = val.get(i)
+            boxes, scores, _ = t.predict_scene(grid)  # (P, 7) rotated
+            k = min(len(scores), 300)
+            order = np.argsort(-scores)[:k]
+            pb = jnp.asarray(boxes[order], jnp.float32)
+            gtb = jnp.asarray(gt, jnp.float32)
+            iou = np.asarray(cal_iou_3d(gtb[:, None, :], pb[None, :, :]))
+            best = iou.max(axis=1) if iou.size else np.zeros(len(gt))
+            best_ious_all.extend(best.tolist())
+            # theta diagnosis: |wrapped angle error| of each GT's best
+            # match (distinguishes "theta collapses to 0" from
+            # "size/center off")
+            if iou.size:
+                bidx = iou.argmax(axis=1)
+                dth = np.asarray(gt)[:, 6] - np.asarray(boxes[order])[bidx, 6]
+                dth = np.abs((dth + np.pi / 2) % np.pi - np.pi / 2)
+            else:
+                dth = np.zeros(len(gt))
+            per_scene.append(
+                {"scene": scene, "gt": int(len(gt)),
+                 "best_iou_mean": float(best.mean()),
+                 "theta_err_deg_mean": float(np.degrees(dth).mean())})
+            print(f"[eval] {scene}: mean best rotated IoU {best.mean():.3f} "
+                  f"(min {best.min():.3f})", flush=True)
 
-    best_ious = np.asarray(best_ious_all)
-    out = {
-        "config": {"num_scenes": args.num_scenes,
-                   "resolution": args.resolution, "epochs": args.epochs},
-        "train_s": round(train_s, 1),
-        "val_gt_count": int(best_ious.size),
-        "mean_best_riou": float(best_ious.mean()),
-        "recall_riou_25": float((best_ious >= 0.25).mean()),
-        "recall_riou_50": float((best_ious >= 0.5).mean()),
-        "recall_riou_70": float((best_ious >= 0.7).mean()),
-        "per_scene": per_scene,
-    }
-    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
-    with open(args.out, "w") as f:
-        json.dump(out, f, indent=2)
+        best_ious = np.asarray(best_ious_all)
+        out = {
+            "config": {"num_scenes": args.num_scenes,
+                       "resolution": args.resolution, "epochs": epochs_done,
+                       "epochs_target": args.epochs},
+            "train_s": round(train_s, 1),
+            "val_gt_count": int(best_ious.size),
+            "mean_best_riou": float(best_ious.mean()),
+            "recall_riou_25": float((best_ious >= 0.25).mean()),
+            "recall_riou_50": float((best_ious >= 0.5).mean()),
+            "recall_riou_70": float((best_ious >= 0.7).mean()),
+            "per_scene": per_scene,
+        }
+        os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+        tmp = args.out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(out, f, indent=2)
+        os.replace(tmp, args.out)
+        print(f"[chunk] epoch {epochs_done}/{args.epochs}:",
+              json.dumps({k: out[k] for k in
+                          ("mean_best_riou", "recall_riou_50",
+                           "recall_riou_70")}), flush=True)
+        return out
+
+    steps_per_epoch = max(1, len(t.make_dataset("train")) // args.batch_size)
+
+    def epochs_done():
+        st = t.ckpt.latest_step() if t.ckpt else None
+        return 0 if st is None else min(st // steps_per_epoch, args.epochs)
+
+    val = t.make_dataset("val")
+    train_s = 0.0
+    if args.eval_only:
+        t.cfg.stop_after_epochs = -1  # restore only, train nothing
+        t.cfg.resume = True
+        t.train_loop()
+        out = evaluate(val, epochs_done(), train_s)
+    else:
+        while epochs_done() < args.epochs:
+            t1 = time.time()
+            t.train_loop()
+            train_s += time.time() - t1
+            t.cfg.resume = True  # subsequent chunks continue the run
+            out = evaluate(val, epochs_done(), train_s)
     print("OBB E2E OK", json.dumps({k: out[k] for k in
           ("mean_best_riou", "recall_riou_50", "recall_riou_70")}), flush=True)
 

@@ -214,12 +214,17 @@ def fastrcnn_loss(class_logits, box_regression, labels, reg_targets, valid):
 
 def project_gt_masks(gt_masks, boxes, matched_idx, m):
     """Crop each roi's matched GT voxel mask to (m, m, m) targets
-    (ref: project_masks_on_boxes, nerf_rcnn.py:819-831)."""
-    picked = gt_masks[matched_idx]  # (S, W, L, H)
-    k = picked.shape[0]
+    (ref: project_masks_on_boxes, nerf_rcnn.py:819-831).
+
+    The per-slot mask selection happens INSIDE roi_align_3d via
+    ``roi_batch=matched_idx`` — pre-gathering ``gt_masks[matched_idx]``
+    materializes (slots, W, L, H) in f32 (6.25G padded at 128x160^3,
+    the round-3 retrain OOM); routing the index through the align gather
+    touches only slots*out^3*8 corners, and uint8 masks stay uint8 until
+    after the gather."""
     out = roi_align_3d(
-        picked[..., None].astype(jnp.float32), boxes,
-        jnp.arange(k, dtype=jnp.int32), (m, m, m),
+        gt_masks[..., None], boxes, matched_idx.astype(jnp.int32),
+        (m, m, m),
     )
     return out[..., 0]
 

@@ -58,13 +58,21 @@ def roi_align_3d(
     n, w, l, h, c = features.shape
     k = rois.shape[0]
 
+    # integer features (e.g. uint8 GT voxel masks) are gathered in their
+    # native dtype and promoted to f32 only AFTER the 8-corner gather —
+    # converting the full grid first materializes an N*W*L*H f32 temp
+    # (the 160^3x128-slot mask-target path was 6.25G of the RCNN train
+    # step's HBM, /root/scratch/retrain2.log)
+    integer_input = not jnp.issubdtype(features.dtype, jnp.floating)
+    fdt = jnp.float32 if integer_input else features.dtype
+
     lo = rois[:, 0:3] * spatial_scale  # (K, 3)
     hi = rois[:, 3:6] * spatial_scale
-    bin_sz = (hi - lo) / jnp.asarray([ow, ol, oh], features.dtype)  # (K, 3)
+    bin_sz = (hi - lo) / jnp.asarray([ow, ol, oh], fdt)  # (K, 3)
 
     def axis_coords(axis: int, res: int) -> jnp.ndarray:
         # (K, res*s): sample points along one axis
-        cell = jnp.arange(res * s, dtype=features.dtype)
+        cell = jnp.arange(res * s, dtype=fdt)
         # position of sub-sample j within bin i: (i + (j_in + 0.5)/s)
         offs = (cell // s) + ((cell % s) + 0.5) / s
         return lo[:, axis, None] + offs[None, :] * bin_sz[:, axis, None]
@@ -113,6 +121,8 @@ def roi_align_3d(
         for iy, wys in ((y0, wy0), (y1, wy1)):
             for iz, wzs in ((z0, wz0), (z1, wz1)):
                 vals = gather(ix, iy, iz)
+                if integer_input:
+                    vals = vals.astype(fdt)
                 wgt = (
                     wxs[:, :, None, None]
                     * wys[:, None, :, None]

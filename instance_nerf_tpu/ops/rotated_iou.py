@@ -137,8 +137,15 @@ def cal_iou(box1, box2):
     inter = oriented_box_intersection_2d(corners1, corners2)
     area1 = box1[..., 2] * box1[..., 3]
     area2 = box2[..., 2] * box2[..., 3]
-    u = area1 + area2 - inter
-    iou = inter / jnp.maximum(u, EPS)
+    # Convexity bound: the intersection of two convex regions can't
+    # exceed either area. Degenerate candidates (near-parallel edges)
+    # can otherwise emit far-away "intersection" vertices whose shoelace
+    # area dwarfs the union — observed IoU 5e5 on early-training
+    # proposals. Non-positive boxes get IoU 0.
+    valid = (area1 > 0) & (area2 > 0)
+    inter = jnp.clip(inter, 0.0, jnp.minimum(area1, area2))
+    u = jnp.maximum(area1 + area2 - inter, EPS)
+    iou = jnp.where(valid, inter / u, 0.0)
     return iou, corners1, corners2, u
 
 
@@ -159,8 +166,12 @@ def cal_iou_3d(box3d1, box3d2, verbose: bool = False):
     inter_3d = iou_2d * u * z_overlap
     v1 = box3d1[..., 3] * box3d1[..., 4] * box3d1[..., 5]
     v2 = box3d2[..., 3] * box3d2[..., 4] * box3d2[..., 5]
+    # same convexity bound as cal_iou (see there): keeps IoU in [0, 1]
+    # for degenerate/garbage boxes instead of inter/EPS blow-ups
+    valid = (v1 > 0) & (v2 > 0)
+    inter_3d = jnp.clip(inter_3d, 0.0, jnp.minimum(v1, v2))
     u3d = jnp.maximum(v1 + v2 - inter_3d, EPS)
-    iou3d = inter_3d / u3d
+    iou3d = jnp.where(valid, inter_3d / u3d, 0.0)
     if verbose:
         z_range = jnp.clip(jnp.maximum(zmax1, zmax2) - jnp.minimum(zmin1, zmin2), min=0.0)
         return iou3d, c1, c2, z_range, u3d

@@ -101,6 +101,13 @@ class FCOSConfig:
     # loses everything (the 320-epoch OBB run died at epoch 309 with
     # zero saves)
     save_interval: int = 0
+    # max epochs trained by ONE train_loop() call (0 = to num_epochs,
+    # negative = restore/init only, train nothing): drivers chunk long
+    # runs into train -> eval -> write-partial-results cycles so a queue
+    # timeout costs one chunk, not the whole run (VERDICT r3: the
+    # 160-epoch OBB result was zeroed by its own timeout because eval
+    # JSON was only written at run end)
+    stop_after_epochs: int = 0
     fpn_strides: tuple = (4, 8, 16, 32)
     seed: int = 0
     # hold decoded grids in host RAM (one decompress per scene instead of
@@ -327,7 +334,11 @@ class FCOSTrainer:
         rng = np.random.default_rng(cfg.seed + start_epoch)
         key = jax.random.key(cfg.seed + 17 + start_epoch)
         gstep = start_epoch * steps_per_epoch
-        for epoch in range(start_epoch, cfg.num_epochs):
+        end_epoch = cfg.num_epochs
+        if cfg.stop_after_epochs:
+            end_epoch = min(end_epoch,
+                            start_epoch + max(0, cfg.stop_after_epochs))
+        for epoch in range(start_epoch, end_epoch):
             order = rng.permutation(len(train_ds))
             n_used = steps_per_epoch * cfg.batch_size
             if n_used > len(order):  # len(ds) < batch_size: wrap
@@ -421,7 +432,11 @@ class FCOSTrainer:
 
         rng = np.random.default_rng(cfg.seed)
         gstep = start_epoch * steps_per_epoch
-        for epoch in range(start_epoch, cfg.num_epochs):
+        end_epoch = cfg.num_epochs
+        if cfg.stop_after_epochs:
+            end_epoch = min(end_epoch,
+                            start_epoch + max(0, cfg.stop_after_epochs))
+        for epoch in range(start_epoch, end_epoch):
             order = rng.permutation(len(train_ds))
             t0 = time.time()
             s = 0

@@ -134,3 +134,31 @@ def test_aabb2obb_canonical():
     np.testing.assert_allclose(obb[:3], [1, 3, 2], atol=1e-6)
     np.testing.assert_allclose(obb[3:6], [6, 2, 4], atol=1e-6)  # w >= l
     np.testing.assert_allclose(obb[6], np.pi / 2, atol=1e-6)
+
+
+def test_iou_bounded_for_garbage_boxes():
+    """Regression (round 4): early-training proposals with extreme
+    sizes/angles made oriented_box_intersection_2d emit far-away
+    candidate vertices whose shoelace area dwarfed the union -> IoU 5e5
+    through the inter/EPS path. The convexity bound (inter <= min vol)
+    must keep IoU in [0, 1] for ANY input, incl. non-positive sizes."""
+    rng = np.random.default_rng(0)
+    n = 256
+    b1 = np.stack([
+        rng.uniform(-50, 50, n), rng.uniform(-50, 50, n),
+        rng.uniform(-50, 50, n),
+        rng.uniform(-2, 200, n), rng.uniform(-2, 200, n),
+        rng.uniform(-2, 200, n), rng.uniform(-20, 20, n),
+    ], axis=-1).astype(np.float32)
+    b2 = b1[rng.permutation(n)] + rng.normal(0, 5, (n, 7)).astype(np.float32)
+    # sprinkle exact zeros and near-parallel duplicates
+    b1[:8, 3:6] = 0.0
+    b2[8:16] = b1[8:16]
+    iou = np.asarray(R.cal_iou_3d(jnp.asarray(b1), jnp.asarray(b2)))
+    assert np.isfinite(iou).all()
+    assert (iou >= 0.0).all() and (iou <= 1.0 + 1e-5).all(), iou.max()
+    iou2d, *_ = R.cal_iou(jnp.asarray(b1[:, [0, 1, 3, 4, 6]]),
+                          jnp.asarray(b2[:, [0, 1, 3, 4, 6]]))
+    iou2d = np.asarray(iou2d)
+    assert np.isfinite(iou2d).all()
+    assert (iou2d >= 0.0).all() and (iou2d <= 1.0 + 1e-5).all()
