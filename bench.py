@@ -141,8 +141,11 @@ def extra_fcos_train_step_ms() -> dict:
 
     t = FCOSTrainer(FCOSConfig(batch_size=1))
     r = t.benchmark_train_step(reps=10)
-    return {"mean_ms": round(r["mean_ms"], 2), "shape": [160, 160, 160],
-            "batch": 1, "backbone": "vgg_EF"}
+    out = {"mean_ms": round(r["mean_ms"], 2), "shape": [160, 160, 160],
+           "batch": 1, "backbone": "vgg_EF"}
+    out.update({k: r[k] for k in ("peak_hbm_gib", "tflops_per_step",
+                                  "achieved_tflops", "mfu") if k in r})
+    return out
 
 
 def extra_rcnn_train_step_ms() -> dict:
@@ -150,8 +153,11 @@ def extra_rcnn_train_step_ms() -> dict:
 
     t = RCNNTrainer(RCNNConfig(batch_size=1))
     r = t.benchmark_train_step(reps=8)
-    return {"mean_ms": round(r["mean_ms"], 2), "shape": [160, 160, 160],
-            "batch": 1}
+    out = {"mean_ms": round(r["mean_ms"], 2), "shape": [160, 160, 160],
+           "batch": 1}
+    out.update({k: r[k] for k in ("peak_hbm_gib", "tflops_per_step",
+                                  "achieved_tflops", "mfu") if k in r})
+    return out
 
 
 def devices_available(timeout_s: float = 360.0) -> bool:

@@ -709,6 +709,18 @@ class FCOSTrainer:
             tot = run(self.state, grids, sizes, gt_boxes, gt_mask)
         float(tot)
         mean = (time.perf_counter() - t0) / (reps * scan_len) * 1000
-        return {"mean_ms": float(mean), "compile_s": compile_s}
+        out = {"mean_ms": float(mean), "compile_s": compile_s}
+        try:  # compile-time peak HBM + MFU (VERDICT r3 #7); best-effort
+            from instance_nerf_tpu.utils.hbm import compiled_step_stats
+
+            st = compiled_step_stats(
+                run, self.state, grids, sizes, gt_boxes, gt_mask,
+                steps_per_call=scan_len, step_ms=mean)
+            out.update({k: st[k] for k in
+                        ("peak_hbm_gib", "tflops_per_step",
+                         "achieved_tflops", "mfu") if k in st})
+        except Exception:  # pragma: no cover - analysis API drift
+            log.info("compiled_step_stats unavailable", exc_info=True)
+        return out
 
 

@@ -719,7 +719,19 @@ class RCNNTrainer:
                       *batch_args)
         float(tot)
         mean = (time.perf_counter() - t0) / (reps * scan_len) * 1000
-        return {"mean_ms": float(mean), "compile_s": compile_s}
+        out = {"mean_ms": float(mean), "compile_s": compile_s}
+        try:  # compile-time peak HBM + MFU (VERDICT r3 #7); best-effort
+            from instance_nerf_tpu.utils.hbm import compiled_step_stats
+
+            st = compiled_step_stats(
+                run, self.params, self.opt_state, jax.random.key(0),
+                *batch_args, steps_per_call=scan_len, step_ms=mean)
+            out.update({k: st[k] for k in
+                        ("peak_hbm_gib", "tflops_per_step",
+                         "achieved_tflops", "mfu") if k in st})
+        except Exception:  # pragma: no cover - analysis API drift
+            log.info("compiled_step_stats unavailable", exc_info=True)
+        return out
 
 
 def _random_rois(rng, grid_size, n):

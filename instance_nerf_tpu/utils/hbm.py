@@ -47,3 +47,32 @@ def compiled_memory_stats(jitted_fn, *args, **kwargs) -> dict:
     gib = 1024.0**3
     stats.update({f"{k}_gib": round(v / gib, 3) for k, v in list(stats.items())})
     return stats
+
+
+# v5e per-chip peak: 197 bf16 TFLOPS (394 int8 TOPS). MFU below is
+# reported against this regardless of the program's actual dtype mix.
+V5E_PEAK_BF16_FLOPS = 197e12
+
+
+def compiled_step_stats(jitted_fn, *args, steps_per_call: int = 1,
+                        step_ms: float | None = None, **kwargs) -> dict:
+    """Peak-HBM + model-FLOPs (and MFU when ``step_ms`` is given) for a
+    jitted program, from the compiler alone — the reference exposes no
+    analog (its benchmark modes, run_rcnn.py:729-752, time only).
+
+    ``steps_per_call`` divides the program's total FLOPs when the
+    program scans K train steps per dispatch. Never executes.
+    """
+    stats = compiled_memory_stats(jitted_fn, *args, **kwargs)
+    compiled = jitted_fn.lower(*args, **kwargs).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):  # older jax returns [dict]
+        ca = ca[0] if ca else {}
+    flops = float((ca or {}).get("flops", 0.0)) / max(steps_per_call, 1)
+    stats["flops_per_step"] = flops
+    stats["tflops_per_step"] = round(flops / 1e12, 3)
+    if step_ms and flops:
+        achieved = flops / (step_ms / 1e3)
+        stats["achieved_tflops"] = round(achieved / 1e12, 2)
+        stats["mfu"] = round(achieved / V5E_PEAK_BF16_FLOPS, 4)
+    return stats
