@@ -209,6 +209,50 @@ def composite(
     return RenderOut(out_rgb, depth, acc, out_inst, weights)
 
 
+def _compact_render(model_apply, params, origins, dirs, t, dt, occ_all,
+                    occ, k: int, pad_k: int, with_instance, valid,
+                    use_fine_mask: bool) -> RenderOut:
+    """Fixed-K occupancy compaction + field query + composite for one
+    (sub-)batch of rays. Occupied samples first, original (depth) order
+    preserved; keys are unique (iota tiebreak) so top_k == argsort[:K]
+    exactly, at K/S of the sort cost. VALUE-encoded: the key's low bits
+    ARE the sample id, so no index-output take_alongs are needed — one
+    (R, K) gather of t, xyz recomputed as o + t*d (bit-identical), dt
+    closed-form (sample_points returns the constant span/S).
+
+    ``pad_k``: weights are zero-padded to this width so bucketed
+    sub-batches of different K concatenate (weights of pad slots are 0).
+    """
+    s = occ_all.shape[-1]
+    sort_key = jnp.where(occ_all > 0, 0, s) + jax.lax.broadcasted_iota(
+        jnp.int32, occ_all.shape, 1
+    )
+    neg_vals, _ = jax.lax.top_k(-sort_key, k)
+    vals = -neg_vals  # (R, K) ascending sort_key
+    keep = vals < s
+    s_idx = jnp.where(keep, vals, vals - s)  # (R, K) sample ids
+    t_k = jnp.take_along_axis(t, s_idx, axis=1)
+    xyz_k = jnp.clip(
+        origins[:, None, :] + t_k[..., None] * dirs[:, None, :], 0.0, 1.0
+    )
+    dt_k = jnp.broadcast_to(dt[:, :1], t_k.shape)
+    keep_f = keep.astype(t.dtype)
+    if use_fine_mask:
+        # fine-grid mask on just the K compacted samples (S/K fewer
+        # random gathers than masking all candidates)
+        keep_f = keep_f * occ.occupied(xyz_k)
+    vd = jnp.broadcast_to(dirs[:, None, :], xyz_k.shape)
+    sigma_raw, rgb, logits = model_apply(params, xyz_k, vd)
+    out = composite(
+        sigma_raw, rgb, logits if with_instance else None,
+        t_k, dt_k, keep_f, valid.astype(t.dtype),
+    )
+    if pad_k > k:
+        out = out._replace(
+            weights=jnp.pad(out.weights, ((0, 0), (0, pad_k - k))))
+    return out
+
+
 def render_rays(
     model_apply,
     params,
@@ -221,6 +265,7 @@ def render_rays(
     with_instance: bool = True,
     k_occupied: int | None = None,
     occ_coarse_res: int | None = None,
+    k_buckets: tuple | None = None,
 ) -> RenderOut:
     """Full render: AABB clip -> stratified samples -> field query ->
     composite. ``model_apply(params, xyz, viewdir)`` must return
@@ -239,6 +284,18 @@ def render_rays(
     fidelity stays at the fine grid; only which K candidates fill the
     slots is coarser (slots can be wasted on coarse-occupied/fine-empty
     samples near surfaces).
+
+    ``k_buckets``: adaptive-K routing (TPU analog of torch-ngp's ray
+    compaction, which our fixed-K path cannot express): a tuple of
+    (fraction, K) pairs, e.g. ``((0.5, 8), (0.25, 16), (0.25, 32))``.
+    Rays are sorted by their occupancy hit count and the
+    fewest-hit ``fraction`` of rays is compacted with the smallest K —
+    mostly-empty rays stop paying the max-K encode+MLP cost (per-point
+    work drops from R*Kmax to sum r_i*K_i; 2x for the example). The
+    sort is over R scalars (trivial next to per-point work) and all
+    shapes stay static. Rays whose hits exceed their bucket's K
+    truncate — identical failure mode to fixed-K, but routed so it hits
+    the emptiest rays last. Overrides ``k_occupied`` when set.
     """
     near, far = ray_aabb(origins, dirs)
     valid = far > near
@@ -246,40 +303,50 @@ def render_rays(
     xyz, t, dt = sample_points(key, origins, dirs, n_samples, near, far, stratified)
     xyz_c = jnp.clip(xyz, 0.0, 1.0)
 
-    if k_occupied is not None and occ is not None and k_occupied < n_samples:
-        if occ_coarse_res is not None and occ_coarse_res < occ.res:
+    use_coarse = (occ_coarse_res is not None and occ is not None
+                  and occ_coarse_res < occ.res)
+
+    if k_buckets and occ is not None:
+        if use_coarse:
             occ_all = coarse_occupancy_mxu(occ, xyz_c, occ_coarse_res)
         else:
             occ_all = occ.occupied(xyz_c)  # (R, S)
-        s = n_samples
-        # occupied samples first, original (depth) order preserved; keys
-        # are unique (iota tiebreak) so top_k == argsort[:K] exactly, at
-        # K/S of the sort cost. VALUE-encoded: the key's low bits ARE the
-        # sample id, so no index-output take_alongs are needed — one
-        # (R, K) gather of t, xyz recomputed as o + t*d (bit-identical),
-        # dt closed-form (sample_points returns the constant span/S).
-        sort_key = jnp.where(occ_all > 0, 0, s) + jax.lax.broadcasted_iota(
-            jnp.int32, occ_all.shape, 1
-        )
-        neg_vals, _ = jax.lax.top_k(-sort_key, k_occupied)
-        vals = -neg_vals  # (R, K) ascending sort_key
-        keep = vals < s
-        s_idx = jnp.where(keep, vals, vals - s)  # (R, K) sample ids
-        t_k = jnp.take_along_axis(t, s_idx, axis=1)
-        xyz_k = jnp.clip(
-            origins[:, None, :] + t_k[..., None] * dirs[:, None, :], 0.0, 1.0
-        )
-        dt_k = jnp.broadcast_to(dt[:, :1], t_k.shape)
-        keep_f = keep.astype(xyz.dtype)
-        if occ_coarse_res is not None and occ_coarse_res < occ.res:
-            # fine-grid mask on just the K compacted samples (S/K fewer
-            # random gathers than masking all candidates)
-            keep_f = keep_f * occ.occupied(xyz_k)
-        vd = jnp.broadcast_to(dirs[:, None, :], xyz_k.shape)
-        sigma_raw, rgb, logits = model_apply(params, xyz_k, vd)
-        return composite(
-            sigma_raw, rgb, logits if with_instance else None,
-            t_k, dt_k, keep_f, valid.astype(xyz.dtype),
+        r = origins.shape[0]
+        hits = occ_all.sum(axis=-1)
+        # invalid rays have arbitrary occupancy; force them into the
+        # cheapest bucket (their weights are zeroed by `valid` anyway)
+        hits = jnp.where(valid, hits, -1.0)
+        order = jnp.argsort(hits)  # ascending hit count
+        sizes, acc = [], 0
+        for frac, k in k_buckets[:-1]:
+            n = int(r * frac)
+            sizes.append((n, int(k)))
+            acc += n
+        sizes.append((r - acc, int(k_buckets[-1][1])))
+        pad_k = max(k for _, k in sizes)
+        outs, start = [], 0
+        for n, k in sizes:
+            sel = jax.lax.dynamic_slice_in_dim(order, start, n)
+            start += n
+            outs.append(_compact_render(
+                model_apply, params,
+                origins[sel], dirs[sel], t[sel], dt[sel], occ_all[sel],
+                occ, k, pad_k, with_instance, valid[sel], use_coarse,
+            ))
+        inv = jnp.argsort(order)  # unpermute back to caller ray order
+        return RenderOut(*(
+            jnp.concatenate([getattr(o, f) for o in outs], axis=0)[inv]
+            for f in RenderOut._fields
+        ))
+
+    if k_occupied is not None and occ is not None and k_occupied < n_samples:
+        if use_coarse:
+            occ_all = coarse_occupancy_mxu(occ, xyz_c, occ_coarse_res)
+        else:
+            occ_all = occ.occupied(xyz_c)  # (R, S)
+        return _compact_render(
+            model_apply, params, origins, dirs, t, dt, occ_all,
+            occ, k_occupied, k_occupied, with_instance, valid, use_coarse,
         )
 
     vd = jnp.broadcast_to(dirs[:, None, :], xyz.shape)

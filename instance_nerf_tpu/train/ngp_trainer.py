@@ -60,6 +60,10 @@ class NGPConfig:
     # two-stage occupancy: coarse MXU selection + fine mask on the K
     # compacted samples (render.py:coarse_occupancy_mxu); None = exact
     occ_coarse_res: int | None = None
+    # adaptive-K routing: ((fraction, K), ...) — rays sorted by
+    # occupancy hit count, fewest-hit fraction compacted with smallest K
+    # (render.py:render_rays k_buckets). Overrides k_occupied when set.
+    k_buckets: tuple | None = None
     # route hash/brick table gradients through the Pallas scatter-add
     # kernel (kernels/scatter_pallas.py) — 1.75x XLA's scatter on the
     # rgb-stage backward (probe8b: brick fwd+bwd 54.6 -> 31.2 ms)
@@ -169,6 +173,7 @@ class InstanceFieldTrainer:
                     with_instance=stage != "rgb",
                     k_occupied=cfg.k_occupied,
                     occ_coarse_res=cfg.occ_coarse_res,
+                    k_buckets=cfg.k_buckets,
                 )
                 losses = {}
                 rgb_loss = jnp.mean((out.rgb - target_rgb) ** 2)
@@ -386,6 +391,7 @@ class InstanceFieldTrainer:
                     stratified=False, with_instance=with_instance,
                     k_occupied=cfg.k_occupied,
                     occ_coarse_res=cfg.occ_coarse_res,
+                    k_buckets=cfg.k_buckets,
                 )
 
             self._render_fns[with_instance] = render

@@ -209,3 +209,75 @@ def test_render_rays_two_stage_occupancy_matches_exact_on_blocky_grid():
     np.testing.assert_allclose(np.asarray(exact.instance_logits),
                                np.asarray(two.instance_logits),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_render_rays_adaptive_k_matches_fixed_when_hits_fit():
+    """When every ray has <= min-bucket-K occupied candidates, adaptive-K
+    routing captures exactly the same samples as the fixed-K path, so
+    per-ray outputs must match (routing only permutes work)."""
+    model = InstanceNGP(n_levels=2, table_size=2 ** 10, max_res=32,
+                        num_instances=3)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 3)),
+                        jnp.asarray([[0.0, 0.0, 1.0]]))
+    rng = np.random.default_rng(3)
+    # sparse occupancy: a thin slab -> few occupied candidates per ray
+    fine = np.zeros((32, 32, 32), bool)
+    fine[:, :, 14:17] = True
+    occ = R.OccupancyGrid(jnp.asarray(fine * 1e3, jnp.float32), 0.01)
+    n = 32
+    o = jnp.asarray(rng.uniform(0.1, 0.9, (n, 3)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    f = lambda p, x, v: model.apply(p, x, v)
+    kw = dict(n_samples=32, occ=occ, stratified=False)
+    fixed = R.render_rays(f, params, jax.random.key(2), o, d,
+                          k_occupied=16, **kw)
+    adapt = R.render_rays(f, params, jax.random.key(2), o, d,
+                          k_buckets=((0.5, 16), (0.25, 16), (0.25, 16)),
+                          **kw)
+    np.testing.assert_allclose(np.asarray(fixed.rgb), np.asarray(adapt.rgb),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fixed.depth),
+                               np.asarray(adapt.depth),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fixed.instance_logits),
+                               np.asarray(adapt.instance_logits),
+                               rtol=1e-5, atol=1e-5)
+    # mixed-K buckets: slab rays have <= ~6 occupied candidates of 32,
+    # so K=8 suffices for the emptiest half -> still identical
+    mixed = R.render_rays(f, params, jax.random.key(2), o, d,
+                          k_buckets=((0.5, 8), (0.25, 16), (0.25, 16)),
+                          **kw)
+    np.testing.assert_allclose(np.asarray(fixed.rgb), np.asarray(mixed.rgb),
+                               rtol=1e-5, atol=1e-6)
+    # weights padded to max K and unpermuted: shape (R, 16)
+    assert mixed.weights.shape == (n, 16)
+
+
+def test_adaptive_k_train_step_runs_and_learns():
+    """Adaptive-K end-to-end through the jitted train step (grads flow,
+    loss decreases on an overfit micro-problem)."""
+    from instance_nerf_tpu.train.ngp_trainer import (
+        InstanceFieldTrainer, fast_ngp_config,
+    )
+
+    cfg = fast_ngp_config(
+        num_instances=3, n_rays=64, n_samples=32, occ_res=32,
+        occ_coarse_res=16, k_buckets=((0.5, 4), (0.25, 8), (0.25, 16)),
+        n_levels=2, table_size=2 ** 10, dtype="float32",
+    )
+    tr = InstanceFieldTrainer(cfg, seed=0)
+    rng = np.random.default_rng(0)
+    o = jnp.asarray(0.5 + 0.45 * rng.normal(size=(64, 3)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(64, 3)), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    rgb = jnp.asarray(rng.uniform(size=(64, 3)), jnp.float32)
+    inst = jnp.asarray(rng.integers(0, 3, 64), jnp.int32)
+    step = tr._step_fn("rgb")
+    losses = []
+    p, s = tr.params, tr.opt_state
+    for i in range(30):
+        p, s, m = step(p, s, tr.occ.grid, jax.random.key(i), o, d, rgb, inst)
+        losses.append(float(m["rgb"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
