@@ -30,9 +30,18 @@ def main():
     p.add_argument("--spc", type=int, default=16)
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--out", default="/tmp/multiscene_bench.json")
+    p.add_argument("--sweep", default="",
+                   help="comma list of fleet sizes (e.g. 8,16,32,64): "
+                        "measure aggregate rays/s + _scan_batch host ms "
+                        "vs B, then checkpoint/restore at the largest B "
+                        "(VERDICT r3 weak #6 scaling evidence). Run with "
+                        "XLA_FLAGS=--xla_force_host_platform_device_count"
+                        "=8 --cpu for the 8-device CPU mesh.")
     args = p.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.sweep:
+        return sweep(args)
 
     from instance_nerf_tpu.data.nerf_dataset import make_synthetic_nerf_scene
     from instance_nerf_tpu.train.multiscene import MultiSceneFieldTrainer
@@ -61,6 +70,70 @@ def main():
     with open(args.out, "w") as f:
         json.dump(out, f)
 
+
+
+def sweep(args):
+    """B-scaling table: aggregate rays/s, per-step wall, and the host
+    _scan_batch share at each fleet size, plus save/restore round-trip
+    at the largest B. On a pod-local host the scan path is device-bound;
+    this proves the HOST side (ray draws + target gathers) stays
+    sub-dominant as B grows."""
+    import tempfile
+
+    from instance_nerf_tpu.data.nerf_dataset import make_synthetic_nerf_scene
+    from instance_nerf_tpu.train.multiscene import MultiSceneFieldTrainer
+    from instance_nerf_tpu.train.ngp_trainer import fast_ngp_config
+
+    sizes = [int(s) for s in args.sweep.split(",")]
+    rng = np.random.default_rng(0)
+    scenes = [
+        make_synthetic_nerf_scene(rng, n_views=4, hw=(64, 64), n_blobs=2)[0]
+        for _ in range(max(sizes))
+    ]
+    cfg = fast_ngp_config(n_rays=args.rays, n_samples=64, k_occupied=16,
+                          occ_res=64, occ_coarse_res=32)
+    rows = []
+    tr = None
+    for b in sizes:
+        tr = MultiSceneFieldTrainer(scenes[:b], cfg, seed=0)
+        spc = args.spc
+        tr.train(spc, stage="rgb", log_every=0, steps_per_call=spc)  # warm
+        # host share: time _scan_batch alone (same draws the loop makes)
+        t0 = time.time()
+        for _ in range(4):
+            batch = tr._scan_batch(spc)
+        jax.block_until_ready(batch)
+        host_ms = (time.time() - t0) / 4 * 1000
+        t0 = time.time()
+        tr.train(args.steps, stage="rgb", log_every=0, steps_per_call=spc)
+        dt = time.time() - t0
+        rate = b * args.rays * args.steps / dt
+        row = {"B": b, "aggregate_rays_s": round(rate),
+               "wall_s": round(dt, 2),
+               "scan_batch_host_ms_per_dispatch": round(host_ms, 1),
+               "host_share_pct": round(
+                   100 * host_ms / max(dt / (args.steps / spc) * 1000, 1e-9),
+                   1)}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    # checkpoint round-trip at the largest fleet
+    with tempfile.TemporaryDirectory() as td:
+        t0 = time.time()
+        tr.save(td, step=args.steps)
+        save_s = time.time() - t0
+        before = jax.tree_util.tree_leaves(tr.state.params)[0]
+        t0 = time.time()
+        tr.restore(td)
+        restore_s = time.time() - t0
+        after = jax.tree_util.tree_leaves(tr.state.params)[0]
+        exact = bool(np.array_equal(np.asarray(before), np.asarray(after)))
+    out = {"rows": rows, "ckpt": {"B": sizes[-1],
+                                  "save_s": round(save_s, 2),
+                                  "restore_s": round(restore_s, 2),
+                                  "bit_exact": exact}}
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+    print("MULTISCENE SWEEP OK", json.dumps(out["ckpt"]))
 
 if __name__ == "__main__":
     main()
