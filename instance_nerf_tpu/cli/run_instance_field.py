@@ -38,6 +38,15 @@ def build_parser():
     p.add_argument("--n_samples", type=int, default=128)
     p.add_argument("--k_occupied", type=int, default=32,
                    help="fixed-K occupancy compaction (0 = query all samples)")
+    p.add_argument("--k_buckets", default="",
+                   help="adaptive-K routing, 'frac:K,frac:K,...' e.g. "
+                        "'0.5:8,0.25:16,0.25:32' — rays sorted by "
+                        "occupancy hits, emptiest fraction gets the "
+                        "smallest K (render.py:render_rays)")
+    p.add_argument("--occ_coarse_res", type=int, default=0,
+                   help="two-stage occupancy: coarse MXU selection at "
+                        "this res + fine mask on the K compacted "
+                        "samples (0 = single-stage)")
     p.add_argument("--lr", type=float, default=1e-2)
     p.add_argument("--encoding", default="hash", choices=["hash", "fast"],
                    help="'hash' = reference-parity shared-corner NGP; "
@@ -72,6 +81,11 @@ def make_trainer(args):
         lr=args.lr,
         occ_res=args.occ_res,
         k_occupied=args.k_occupied or None,
+        occ_coarse_res=args.occ_coarse_res or None,
+        k_buckets=tuple(
+            (float(f), int(k)) for f, k in
+            (pair.split(":") for pair in args.k_buckets.split(","))
+        ) if args.k_buckets else None,
     )
     if args.encoding == "fast":
         cfg = fast_ngp_config(**common)
