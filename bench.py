@@ -136,6 +136,30 @@ def extra_field_pretrain_rgb_rays_per_s() -> dict:
             "features": 4}
 
 
+def extra_field_adaptive_k_rays_per_s() -> dict:
+    """Adaptive-K bucket routing (render.py k_buckets): rays sorted by
+    occupancy hit count; the emptiest half runs K=8, quarter K=16,
+    quarter K=32 — per-point work (and the rgb stage's table scatter
+    rows) drop 2x at static shapes."""
+    from instance_nerf_tpu.train.ngp_trainer import (
+        InstanceFieldTrainer,
+        fast_ngp_config,
+    )
+
+    trainer = InstanceFieldTrainer(
+        fast_ngp_config(k_occupied=32, occ_coarse_res=32,
+                        table_size=2 ** 15, n_levels=3, n_features=4,
+                        k_buckets=((0.5, 8), (0.25, 16), (0.25, 32))))
+    out = {"n_rays": trainer.cfg.n_rays, "encoding": "fast",
+           "table_log2": 15, "levels": 3, "features": 4,
+           "k_buckets": "0.5:8,0.25:16,0.25:32"}
+    for stage in ("instance", "rgb"):
+        r = trainer.benchmark_train(reps=20, stage=stage)
+        out[stage] = {"rays_per_s": round(r["rays_per_s"]),
+                      "step_ms": round(r["step_ms"], 2)}
+    return out
+
+
 def extra_fcos_train_step_ms() -> dict:
     from instance_nerf_tpu.train.fcos_trainer import FCOSConfig, FCOSTrainer
 
@@ -199,6 +223,7 @@ def main():
     for name, fn in (
         ("instance_field_train", extra_instance_field_rays_per_s),
         ("field_pretrain_rgb", extra_field_pretrain_rgb_rays_per_s),
+        ("field_adaptive_k", extra_field_adaptive_k_rays_per_s),
         ("fcos_train_step", extra_fcos_train_step_ms),
         ("rcnn_train_step", extra_rcnn_train_step_ms),
     ):
