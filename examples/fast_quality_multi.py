@@ -90,6 +90,17 @@ def main(argv=None):
         "hash": lambda: NGPConfig(
             num_instances=5, n_rays=4096, n_samples=96, k_occupied=32,
             occ_res=64, dtype="bfloat16"),
+        # adaptive-K routing on top of the packed config (probe15:
+        # rgb 484k/753k rays/s) — the quality question is whether
+        # bucket truncation costs pixel acc on real scenes
+        "fast_packed_bktA": lambda: fast_ngp_config(
+            table_size=2 ** 15, n_levels=3, n_features=4,
+            pallas_grad=False,
+            k_buckets=((0.5, 8), (0.25, 16), (0.25, 32)), **fast_common),
+        "fast_packed_bktB": lambda: fast_ngp_config(
+            table_size=2 ** 15, n_levels=3, n_features=4,
+            pallas_grad=False,
+            k_buckets=((0.5, 4), (0.25, 8), (0.25, 16)), **fast_common),
     }
     if args.arms:
         configs = [(a, ARM_DEFS[a]) for a in args.arms.split(",") if a]
