@@ -76,3 +76,35 @@ def test_fcos_device_data_loop_runs(tmp_path):
     )
     t = FCOSTrainer(cfg)
     t.train_loop()  # finishes without error; losses synced each dispatch
+
+
+def test_stop_after_epochs_chunked_resume(tmp_path):
+    """Chunked training (stop_after_epochs) + resume covers the queue
+    pattern the OBB/e2e drivers rely on: two 1-epoch train_loop() calls
+    with resume reach the same checkpoint step as one 2-epoch run, and
+    a negative stop_after_epochs restores without training (eval_only)."""
+    from instance_nerf_tpu.data.synthetic import write_dataset
+    from instance_nerf_tpu.train.fcos_trainer import FCOSConfig, FCOSTrainer
+
+    root = str(tmp_path / "ds")
+    write_dataset(root, num_scenes=4, grid_size=(16, 16, 16), num_boxes=2,
+                  splits=(0.75, 0.25))
+    kw = dict(
+        features_path=f"{root}/features", boxes_path=f"{root}/metadata",
+        dataset_split=f"{root}/dataset_split.json",
+        save_path=str(tmp_path / "ckpt"),
+        resolution=16, batch_size=2, num_epochs=2, steps_per_call=1,
+        device_data=True, eval_interval=10 ** 9, max_gt=4,
+        dtype="float32",
+    )
+    t = FCOSTrainer(FCOSConfig(**kw, stop_after_epochs=1))
+    steps_per_epoch = max(1, len(t.make_dataset("train")) // 2)
+    t.train_loop()  # chunk 1: epoch 0 only
+    assert t.ckpt.latest_step() == steps_per_epoch
+    t.cfg.resume = True
+    t.train_loop()  # chunk 2: epoch 1
+    assert t.ckpt.latest_step() == 2 * steps_per_epoch
+    # eval_only: restore, train nothing, step unchanged
+    t.cfg.stop_after_epochs = -1
+    t.train_loop()
+    assert t.ckpt.latest_step() == 2 * steps_per_epoch
