@@ -85,6 +85,7 @@ def brick_encode(
     chunk: int = 2 ** 16,
     pallas_grad: bool = False,
     pallas_replicas: int = 1,
+    table_cast: jnp.dtype | None = None,
 ) -> jnp.ndarray:
     """Brick-hash encoding: ONE gathered row per (point, level) -> (..., L*F).
 
@@ -96,6 +97,11 @@ def brick_encode(
     scatter-add kernel (kernels/scatter_pallas.py) instead of XLA's
     scatter — per-level (T, 8*F) slabs accumulate in VMEM. Exact up to
     float summation order.
+
+    ``table_cast``: cast the (f32 master) table to this dtype before the
+    gather — the gather and its transpose scatter move half the bytes at
+    bf16; the f32 master still receives exact-dtype adam updates (the
+    cast's VJP upcasts). Quality cover required (bf16 rounds reads).
     """
     L, T, C, F = table.shape
     lead = xyz.shape[:-1]
@@ -106,17 +112,20 @@ def brick_encode(
         xp = jnp.pad(x_all, ((0, pad), (0, 0))).reshape(-1, chunk, 3)
         out = jax.lax.map(
             lambda xc: _brick_encode_block(table, xc, resolutions,
-                                           pallas_grad, pallas_replicas), xp
+                                           pallas_grad, pallas_replicas,
+                                           table_cast), xp
         )
         return out.reshape(-1, L * F)[:n_all].reshape(*lead, L * F)
     return _brick_encode_block(
-        table, x_all, resolutions, pallas_grad, pallas_replicas
+        table, x_all, resolutions, pallas_grad, pallas_replicas, table_cast
     ).reshape(*lead, L * F)
 
 
 def _brick_encode_block(table, x, resolutions, pallas_grad=False,
-                        pallas_replicas=1):
+                        pallas_replicas=1, table_cast=None):
     L, T, C, F = table.shape
+    if table_cast is not None:
+        table = table.astype(table_cast)
     n = x.shape[0]
     res_np = np.asarray(resolutions, np.int64)
     res = jnp.asarray(res_np, jnp.uint32)
@@ -209,6 +218,7 @@ class InstanceNGPFast(nn.Module):
     dtype: jnp.dtype | None = None
     pallas_grad: bool = False  # brick-table grads via the Pallas kernel
     pallas_replicas: int = 1  # VMEM accumulator copies in the kernel
+    table_dtype: str | None = None  # cast table for gather/scatter (bf16)
 
     def setup(self):
         self.resolutions = brick_resolutions(
@@ -243,7 +253,10 @@ class InstanceNGPFast(nn.Module):
             dense_trilinear(self.dense_grid, xyz),
             brick_encode(self.table, xyz, self.resolutions,
                          pallas_grad=self.pallas_grad,
-                         pallas_replicas=self.pallas_replicas),
+                         pallas_replicas=self.pallas_replicas,
+                         table_cast=(jnp.bfloat16
+                                     if self.table_dtype == "bfloat16"
+                                     else None)),
             pe_encode(xyz, self.pe_freqs),
         ]
         return jnp.concatenate(parts, axis=-1)

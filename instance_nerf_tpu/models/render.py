@@ -209,19 +209,18 @@ def composite(
     return RenderOut(out_rgb, depth, acc, out_inst, weights)
 
 
-def _compact_render(model_apply, params, origins, dirs, t, dt, occ_all,
-                    occ, k: int, pad_k: int, with_instance, valid,
-                    use_fine_mask: bool) -> RenderOut:
-    """Fixed-K occupancy compaction + field query + composite for one
-    (sub-)batch of rays. Occupied samples first, original (depth) order
-    preserved; keys are unique (iota tiebreak) so top_k == argsort[:K]
-    exactly, at K/S of the sort cost. VALUE-encoded: the key's low bits
-    ARE the sample id, so no index-output take_alongs are needed — one
-    (R, K) gather of t, xyz recomputed as o + t*d (bit-identical), dt
-    closed-form (sample_points returns the constant span/S).
+def _compact_inputs(origins, dirs, t, dt, occ_all, occ, k: int,
+                    use_fine_mask: bool):
+    """Fixed-K occupancy compaction for one (sub-)batch of rays.
+    Occupied samples first, original (depth) order preserved; keys are
+    unique (iota tiebreak) so top_k == argsort[:K] exactly, at K/S of
+    the sort cost. VALUE-encoded: the key's low bits ARE the sample id,
+    so no index-output take_alongs are needed — one (R, K) gather of t,
+    xyz recomputed as o + t*d (bit-identical), dt closed-form
+    (sample_points returns the constant span/S).
 
-    ``pad_k``: weights are zero-padded to this width so bucketed
-    sub-batches of different K concatenate (weights of pad slots are 0).
+    Returns (xyz_k (R,K,3), vd (R,K,3), t_k, dt_k, keep_f) — everything
+    the field query + composite need.
     """
     s = occ_all.shape[-1]
     sort_key = jnp.where(occ_all > 0, 0, s) + jax.lax.broadcasted_iota(
@@ -242,6 +241,20 @@ def _compact_render(model_apply, params, origins, dirs, t, dt, occ_all,
         # random gathers than masking all candidates)
         keep_f = keep_f * occ.occupied(xyz_k)
     vd = jnp.broadcast_to(dirs[:, None, :], xyz_k.shape)
+    return xyz_k, vd, t_k, dt_k, keep_f
+
+
+def _compact_render(model_apply, params, origins, dirs, t, dt, occ_all,
+                    occ, k: int, pad_k: int, with_instance, valid,
+                    use_fine_mask: bool) -> RenderOut:
+    """Fixed-K compaction + field query + composite for one (sub-)batch.
+
+    ``pad_k``: weights are zero-padded to this width so bucketed
+    sub-batches of different K concatenate (weights of pad slots are 0).
+    """
+    xyz_k, vd, t_k, dt_k, keep_f = _compact_inputs(
+        origins, dirs, t, dt, occ_all, occ, k, use_fine_mask
+    )
     sigma_raw, rgb, logits = model_apply(params, xyz_k, vd)
     out = composite(
         sigma_raw, rgb, logits if with_instance else None,
@@ -266,6 +279,7 @@ def render_rays(
     k_occupied: int | None = None,
     occ_coarse_res: int | None = None,
     k_buckets: tuple | None = None,
+    fuse_buckets: bool = True,
 ) -> RenderOut:
     """Full render: AABB clip -> stratified samples -> field query ->
     composite. ``model_apply(params, xyz, viewdir)`` must return
@@ -296,6 +310,12 @@ def render_rays(
     shapes stay static. Rays whose hits exceed their bucket's K
     truncate — identical failure mode to fixed-K, but routed so it hits
     the emptiest rays last. Overrides ``k_occupied`` when set.
+
+    ``fuse_buckets``: run ONE field query over the concatenation of all
+    bucket sub-batches' compacted points instead of one query per bucket
+    — same math (compaction and compositing stay per-bucket), but the
+    table gathers/scatters and MLP matmuls batch across buckets, so
+    per-call fixed costs are paid once (probe16).
     """
     near, far = ray_aabb(origins, dirs)
     valid = far > near
@@ -325,14 +345,46 @@ def render_rays(
         sizes.append((r - acc, int(k_buckets[-1][1])))
         pad_k = max(k for _, k in sizes)
         outs, start = [], 0
-        for n, k in sizes:
-            sel = jax.lax.dynamic_slice_in_dim(order, start, n)
-            start += n
-            outs.append(_compact_render(
-                model_apply, params,
-                origins[sel], dirs[sel], t[sel], dt[sel], occ_all[sel],
-                occ, k, pad_k, with_instance, valid[sel], use_coarse,
-            ))
+        if fuse_buckets:
+            pre, start = [], 0
+            for n, k in sizes:
+                sel = jax.lax.dynamic_slice_in_dim(order, start, n)
+                start += n
+                xyz_k, vd, t_k, dt_k, keep_f = _compact_inputs(
+                    origins[sel], dirs[sel], t[sel], dt[sel],
+                    occ_all[sel], occ, k, use_coarse,
+                )
+                pre.append((n, k, t_k, dt_k, keep_f, valid[sel]))
+                outs.append((xyz_k.reshape(-1, 3), vd.reshape(-1, 3)))
+            sig_f, rgb_f, log_f = model_apply(
+                params,
+                jnp.concatenate([a for a, _ in outs], axis=0),
+                jnp.concatenate([b for _, b in outs], axis=0),
+            )
+            outs, ofs = [], 0
+            for n, k, t_k, dt_k, keep_f, vsel in pre:
+                m = n * k
+                out = composite(
+                    sig_f[ofs:ofs + m].reshape(n, k),
+                    rgb_f[ofs:ofs + m].reshape(n, k, 3),
+                    (log_f[ofs:ofs + m].reshape(n, k, -1)
+                     if with_instance else None),
+                    t_k, dt_k, keep_f, vsel.astype(t.dtype),
+                )
+                ofs += m
+                if pad_k > k:
+                    out = out._replace(weights=jnp.pad(
+                        out.weights, ((0, 0), (0, pad_k - k))))
+                outs.append(out)
+        else:
+            for n, k in sizes:
+                sel = jax.lax.dynamic_slice_in_dim(order, start, n)
+                start += n
+                outs.append(_compact_render(
+                    model_apply, params,
+                    origins[sel], dirs[sel], t[sel], dt[sel], occ_all[sel],
+                    occ, k, pad_k, with_instance, valid[sel], use_coarse,
+                ))
         inv = jnp.argsort(order)  # unpermute back to caller ray order
         return RenderOut(*(
             jnp.concatenate([getattr(o, f) for o in outs], axis=0)[inv]

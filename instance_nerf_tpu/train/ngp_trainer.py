@@ -64,6 +64,11 @@ class NGPConfig:
     # occupancy hit count, fewest-hit fraction compacted with smallest K
     # (render.py:render_rays k_buckets). Overrides k_occupied when set.
     k_buckets: tuple | None = None
+    # ONE field query over all bucket sub-batches (render.py probe16)
+    fuse_buckets: bool = True
+    # cast brick tables to this dtype for the gather/scatter (probe17);
+    # None = f32 reads. The master table/adam state stay f32 either way.
+    table_dtype: str | None = None
     # route hash/brick table gradients through the Pallas scatter-add
     # kernel (kernels/scatter_pallas.py) — 1.75x XLA's scatter on the
     # rgb-stage backward (probe8b: brick fwd+bwd 54.6 -> 31.2 ms)
@@ -121,6 +126,7 @@ class InstanceFieldTrainer:
                 dtype=dtype,
                 pallas_grad=cfg.pallas_grad,
                 pallas_replicas=cfg.pallas_replicas,
+                table_dtype=cfg.table_dtype,
             )
         else:
             self.model = InstanceNGP(
@@ -174,6 +180,7 @@ class InstanceFieldTrainer:
                     k_occupied=cfg.k_occupied,
                     occ_coarse_res=cfg.occ_coarse_res,
                     k_buckets=cfg.k_buckets,
+                    fuse_buckets=cfg.fuse_buckets,
                 )
                 losses = {}
                 rgb_loss = jnp.mean((out.rgb - target_rgb) ** 2)
@@ -392,6 +399,7 @@ class InstanceFieldTrainer:
                     k_occupied=cfg.k_occupied,
                     occ_coarse_res=cfg.occ_coarse_res,
                     k_buckets=cfg.k_buckets,
+                    fuse_buckets=cfg.fuse_buckets,
                 )
 
             self._render_fns[with_instance] = render

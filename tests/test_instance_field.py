@@ -254,6 +254,37 @@ def test_render_rays_adaptive_k_matches_fixed_when_hits_fit():
     assert mixed.weights.shape == (n, 16)
 
 
+def test_fused_buckets_match_unfused():
+    """fuse_buckets=True batches all bucket sub-batches through one field
+    query; compaction and compositing are unchanged, so outputs must match
+    the per-bucket path (same ops, different batching) — including under
+    truncation (dense occupancy, small Ks) and mixed bucket widths."""
+    model = InstanceNGP(n_levels=2, table_size=2 ** 10, max_res=32,
+                        num_instances=3)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 3)),
+                        jnp.asarray([[0.0, 0.0, 1.0]]))
+    rng = np.random.default_rng(7)
+    # half-dense occupancy: buckets genuinely differ in hit counts
+    fine = rng.uniform(size=(32, 32, 32)) < 0.5
+    occ = R.OccupancyGrid(jnp.asarray(fine * 1e3, jnp.float32), 0.01)
+    n = 32
+    o = jnp.asarray(rng.uniform(0.1, 0.9, (n, 3)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    f = lambda p, x, v: model.apply(p, x, v)
+    kw = dict(n_samples=32, occ=occ, stratified=False,
+              k_buckets=((0.5, 4), (0.25, 8), (0.25, 16)))
+    fused = R.render_rays(f, params, jax.random.key(2), o, d,
+                          fuse_buckets=True, **kw)
+    plain = R.render_rays(f, params, jax.random.key(2), o, d,
+                          fuse_buckets=False, **kw)
+    for field in R.RenderOut._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(fused, field)),
+            np.asarray(getattr(plain, field)), rtol=1e-5, atol=1e-5,
+            err_msg=field)
+
+
 def test_adaptive_k_train_step_runs_and_learns():
     """Adaptive-K end-to-end through the jitted train step (grads flow,
     loss decreases on an overfit micro-problem)."""
