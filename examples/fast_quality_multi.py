@@ -101,6 +101,30 @@ def main(argv=None):
             table_size=2 ** 15, n_levels=3, n_features=4,
             pallas_grad=False,
             k_buckets=((0.5, 4), (0.25, 8), (0.25, 16)), **fast_common),
+        # round-4 throughput leaders (probe16/17) — quality cover:
+        #   dense32_bktB — coarsest brick level moved into the MXU dense
+        #                  grid (no gather/scatter for L0), buckets B
+        #   bktB_bf16    — bktB with bf16 table reads (table_dtype)
+        "fast_dense32_bktB": lambda: fast_ngp_config(
+            table_size=2 ** 15, n_levels=2, n_features=4, base_res=181,
+            dense_res=32, pallas_grad=False,
+            k_buckets=((0.5, 4), (0.25, 8), (0.25, 16)), **fast_common),
+        "fast_bktB_bf16": lambda: fast_ngp_config(
+            table_size=2 ** 15, n_levels=3, n_features=4,
+            pallas_grad=False, table_dtype="bfloat16",
+            k_buckets=((0.5, 4), (0.25, 8), (0.25, 16)), **fast_common),
+        "fast_dense32_bktB_bf16": lambda: fast_ngp_config(
+            table_size=2 ** 15, n_levels=2, n_features=4, base_res=181,
+            dense_res=32, pallas_grad=False, table_dtype="bfloat16",
+            k_buckets=((0.5, 4), (0.25, 8), (0.25, 16)), **fast_common),
+        # S=64 dense candidates (probe17: 2.4x on the f32 step — wider
+        # dt also de-clusters the scatter): does halving the candidate
+        # resolution cost quality at matched K?
+        "fast_bktB_S64": lambda: fast_ngp_config(
+            table_size=2 ** 15, n_levels=3, n_features=4,
+            pallas_grad=False,
+            k_buckets=((0.5, 4), (0.25, 8), (0.25, 16)),
+            **{**fast_common, "n_samples": 64}),
     }
     if args.arms:
         configs = [(a, ARM_DEFS[a]) for a in args.arms.split(",") if a]

@@ -318,7 +318,8 @@ class InstanceFieldTrainer:
         return {k: float(v) for k, v in last.items()}
 
     def benchmark_train(self, reps: int = 30, stage: str = "instance",
-                        occupancy: float = 1.0, seed: int = 0):
+                        occupancy: float = 1.0, seed: int = 0,
+                        scan_steps: int = 0):
         """Train-step throughput (rays/s) on synthetic rays.
 
         Chained-dependency timing: each step consumes the previous step's
@@ -326,6 +327,11 @@ class InstanceFieldTrainer:
         with ONE host readback at the end (block_until_ready does not
         synchronize through the axon tunnel) minus measured per-dispatch
         overhead.
+
+        ``scan_steps`` > 0: run that many steps inside ONE ``lax.scan``
+        dispatch and divide — device-true per-step time, immune to the
+        tunnel's per-dispatch jitter (probe17b showed ~2x swings on
+        ~5 ms dispatches; the scan number is the one to trust).
         """
         cfg = self.cfg
         rng = np.random.default_rng(seed)
@@ -346,6 +352,48 @@ class InstanceFieldTrainer:
                 jnp.asarray(rng.uniform(size=(g, g, g)) < occupancy), 1e3, 0.0
             )
         step_fn = self._step_fn(stage)
+
+        if scan_steps:
+            # device-true: scan_steps updates inside one dispatch; the
+            # whole dispatch is still chained `reps` times for stability
+            inner = self._make_step(stage)
+
+            @jax.jit
+            def scan_fn(params, opt_state, chain):
+                def body(carry, _):
+                    p, s, key = carry
+                    key, sk = jax.random.split(key)
+                    p, s, losses = inner(p, s, occ_grid, sk,
+                                         o + chain * 0, d, rgb, inst)
+                    return (p, s, key), losses["rgb"]
+
+                (params, opt_state, _), ls = jax.lax.scan(
+                    body, (params, opt_state, jax.random.key(0)),
+                    None, length=scan_steps)
+                return params, opt_state, ls[-1]
+
+            t0 = time.perf_counter()
+            p, s, chain = scan_fn(self.params, self.opt_state,
+                                  jnp.float32(0))
+            float(chain)
+            compile_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            chain = jnp.float32(0)
+            for _ in range(max(reps // scan_steps, 2)):
+                p, s, chain = scan_fn(p, s, chain)
+            float(chain)
+            n_disp = max(reps // scan_steps, 2)
+            from instance_nerf_tpu.utils.profiling import (
+                dispatch_overhead_ms,
+            )
+
+            disp_s = (time.perf_counter() - t0) / n_disp
+            step_s = max(
+                (disp_s - dispatch_overhead_ms() / 1000) / scan_steps,
+                1e-6)
+            return {"step_ms": step_s * 1000,
+                    "rays_per_s": cfg.n_rays / step_s,
+                    "compile_s": compile_s, "scan_steps": scan_steps}
 
         def one(params, opt_state, chain):
             params, opt_state, losses = step_fn(
