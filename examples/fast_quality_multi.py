@@ -117,13 +117,20 @@ def main(argv=None):
             table_size=2 ** 15, n_levels=2, n_features=4, base_res=181,
             dense_res=32, pallas_grad=False, table_dtype="bfloat16",
             k_buckets=((0.5, 4), (0.25, 8), (0.25, 16)), **fast_common),
-        # S=64 dense candidates (probe17: 2.4x on the f32 step — wider
-        # dt also de-clusters the scatter): does halving the candidate
+        # S=64 dense candidates (probe18 scan-true: rgb 876k -> 1001k
+        # rays/s — the prefix halves): does halving the candidate
         # resolution cost quality at matched K?
         "fast_bktB_S64": lambda: fast_ngp_config(
             table_size=2 ** 15, n_levels=3, n_features=4,
             pallas_grad=False,
             k_buckets=((0.5, 4), (0.25, 8), (0.25, 16)),
+            **{**fast_common, "n_samples": 64}),
+        # half the bucket ladder again (avg K 8 -> 4; probe19): the
+        # truncation-quality question at K=2 for the emptiest half
+        "fast_bktC_S64": lambda: fast_ngp_config(
+            table_size=2 ** 15, n_levels=3, n_features=4,
+            pallas_grad=False,
+            k_buckets=((0.5, 2), (0.25, 4), (0.25, 8)),
             **{**fast_common, "n_samples": 64}),
     }
     if args.arms:
