@@ -32,37 +32,95 @@ def make_sharded_ngp_step(
     stage: str = "rgb",
     instance_fg_weight: float = 5.0,
     occ_coarse_res: int | None = None,
+    k_buckets: tuple | None = None,
+    fuse_buckets: bool = True,
+    stratified: bool = True,
 ):
     """Returns jitted ``step(state, occ_grid, key, o, d, rgb, inst) ->
-    (state, metrics)`` with ray arrays sharded over ``data``."""
+    (state, metrics)`` with ray arrays sharded over ``data``.
+
+    ``k_buckets``: adaptive-K routing composed with ray sharding via
+    ``shard_map`` — every shard sorts ITS OWN rays by occupancy hits and
+    buckets them locally, so the routing adds ZERO collectives (under
+    plain GSPMD the global ``argsort`` over the sharded ray axis would
+    gather). Per-shard routing is exact: bucketing only chooses which K
+    each ray gets, and the bucket fractions apply per shard. Losses
+    reduce with in-body ``psum`` (partial sums), so gradients see the
+    same global mean as the unsharded step.
+    """
+    ray_axes = ("dcn", "data")
+
+    def _losses(out, target_rgb, target_inst):
+        """Partial loss sums (psum-able and exact for global means)."""
+        se = jnp.sum((out.rgb - target_rgb) ** 2)
+        cnt = jnp.float32(target_rgb.size)
+        ce_w = w_sum = jnp.float32(0)
+        if stage != "rgb":
+            valid = target_inst >= 0
+            logp = jax.nn.log_softmax(out.instance_logits, axis=-1)
+            ce = -jnp.take_along_axis(
+                logp, jnp.clip(target_inst, 0)[:, None], axis=-1
+            )[:, 0]
+            w = jnp.where(target_inst > 0, instance_fg_weight, 1.0)
+            w = jnp.where(valid, w, 0.0)
+            ce_w = jnp.sum(ce * w)
+            w_sum = jnp.sum(w)
+        return se, cnt, ce_w, w_sum
+
+    def _metrics(se, cnt, ce_w, w_sum):
+        rgb_loss = se / cnt
+        total = rgb_loss if stage != "instance" else 0.0
+        metrics = {"rgb": rgb_loss}
+        if stage != "rgb":
+            inst = ce_w / jnp.maximum(w_sum, 1)
+            metrics["instance"] = inst
+            total = total + inst
+        metrics["total"] = total
+        return total, metrics
 
     def step(state, occ_grid, key, o, d, target_rgb, target_inst):
-        occ = OccupancyGrid(occ_grid, occ_threshold)
-
         def loss_fn(p):
+            if k_buckets:
+                from jax.sharding import PartitionSpec as P
+
+                def local(p_, occ_grid_, o_l, d_l, rgb_l, inst_l):
+                    # per-shard RNG: fold both ray-sharding axes in
+                    k2 = jax.random.fold_in(
+                        key, jax.lax.axis_index("dcn"))
+                    k2 = jax.random.fold_in(
+                        k2, jax.lax.axis_index("data"))
+                    occ = OccupancyGrid(occ_grid_, occ_threshold)
+                    out = render_rays(
+                        model_apply, p_, k2, o_l, d_l,
+                        n_samples=n_samples, occ=occ,
+                        with_instance=stage != "rgb",
+                        k_occupied=k_occupied,
+                        occ_coarse_res=occ_coarse_res,
+                        k_buckets=k_buckets, fuse_buckets=fuse_buckets,
+                        stratified=stratified,
+                    )
+                    parts = _losses(out, rgb_l, inst_l)
+                    return tuple(
+                        jax.lax.psum(x, ray_axes) for x in parts)
+
+                sums = jax.shard_map(
+                    local, mesh=mesh,
+                    in_specs=(P(), P(), P(ray_axes), P(ray_axes),
+                              P(ray_axes), P(ray_axes)),
+                    out_specs=P(),
+                )(p, occ_grid, o, d, target_rgb, target_inst)
+                return _metrics(*sums)
+
+            occ = OccupancyGrid(occ_grid, occ_threshold)
             out = render_rays(
                 model_apply, p, key, o, d,
                 n_samples=n_samples, occ=occ,
                 with_instance=stage != "rgb",
                 k_occupied=k_occupied,
                 occ_coarse_res=occ_coarse_res,
+                stratified=stratified,
             )
-            rgb_loss = jnp.mean((out.rgb - target_rgb) ** 2)
-            total = rgb_loss if stage != "instance" else 0.0
-            metrics = {"rgb": rgb_loss}
-            if stage != "rgb":
-                valid = target_inst >= 0
-                logp = jax.nn.log_softmax(out.instance_logits, axis=-1)
-                ce = -jnp.take_along_axis(
-                    logp, jnp.clip(target_inst, 0)[:, None], axis=-1
-                )[:, 0]
-                w = jnp.where(target_inst > 0, instance_fg_weight, 1.0)
-                w = jnp.where(valid, w, 0.0)
-                inst = jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1)
-                metrics["instance"] = inst
-                total = total + inst
-            metrics["total"] = total
-            return total, metrics
+            return _metrics(*_losses(out, target_rgb, target_inst))
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
@@ -105,6 +163,9 @@ def make_multiscene_ngp_step(
     stage: str = "rgb",
     instance_fg_weight: float = 5.0,
     occ_coarse_res: int | None = None,
+    k_buckets: tuple | None = None,
+    fuse_buckets: bool = True,
+    stratified: bool = True,
 ):
     """Batched MULTI-SCENE instance-field training (BASELINE config #5:
     "~1k scenes over a mesh"): every scene carries its own field
@@ -121,6 +182,12 @@ def make_multiscene_ngp_step(
     (state, metrics)`` where every ray arg has shape (B, R, ...),
     ``occ_grids`` is (B, G, G, G), and state.params leaves have a
     leading (B,) axis (init_multiscene_params).
+
+    ``k_buckets``: adaptive-K routing per scene. Intended for sp=1 fleet
+    meshes (the per-scene ray axis unsharded): the in-scene argsort is
+    then local and collective-free. With sp>1 GSPMD would insert gathers
+    for the sort — use the single-scene sharded step's shard_map path
+    instead.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -134,6 +201,8 @@ def make_multiscene_ngp_step(
             with_instance=stage != "rgb",
             k_occupied=k_occupied,
             occ_coarse_res=occ_coarse_res,
+            k_buckets=k_buckets, fuse_buckets=fuse_buckets,
+            stratified=stratified,
         )
         rgb_loss = jnp.mean((out.rgb - target_rgb) ** 2)
         total = rgb_loss if stage != "instance" else 0.0

@@ -120,6 +120,8 @@ class MultiSceneFieldTrainer:
                 stage=stage,
                 instance_fg_weight=self.cfg.instance_fg_weight,
                 occ_coarse_res=self.cfg.occ_coarse_res,
+                k_buckets=self.cfg.k_buckets,
+                fuse_buckets=self.cfg.fuse_buckets,
             )
         return self._steps[stage]
 

@@ -50,6 +50,60 @@ def test_sharded_ngp_step_runs_and_matches_single():
                                rtol=1e-4)
 
 
+def test_sharded_bucketed_step_matches_single_device():
+    """Adaptive-K over sharded rays (shard_map path): every shard sorts
+    and buckets ITS rays locally — with a thin-slab occupancy whose hit
+    counts fit the smallest bucket K, routing is a pure permutation, so
+    the loss must equal the single-device fixed-K step exactly (psum'd
+    partial sums == global mean). stratified=False pins the sample grid
+    (the shard_map path folds the shard index into the RNG key, so
+    jittered samples would legitimately differ)."""
+    model = InstanceNGP(n_levels=2, table_size=256, max_res=16, hidden=16,
+                        num_instances=3)
+    apply_fn = lambda p, x, v: model.apply(p, x, v)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 3)),
+                        jnp.asarray([[0.0, 0, 1]]))
+    tx = optax.adam(1e-2)
+    # thin slab: every ray crosses <= ~4 occupied candidates of 16
+    fine = np.zeros((16, 16, 16), bool)
+    fine[:, :, 7:9] = True
+    occ_grid = jnp.asarray(fine * 1e3, jnp.float32)
+
+    rng = np.random.default_rng(0)
+    n = 64
+    o = jnp.asarray(rng.uniform(0.2, 0.8, (n, 3)), jnp.float32).at[:, 2].set(-0.5)
+    d = jnp.zeros((n, 3)).at[:, 2].set(1.0)
+    rgb = jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32)
+    inst = jnp.asarray(rng.integers(0, 3, n), jnp.int32)
+
+    mesh = make_mesh(n_data=8, n_spatial=1)
+    step = make_sharded_ngp_step(
+        apply_fn, tx, mesh, n_samples=16, stage="instance",
+        k_occupied=8, k_buckets=((0.5, 4), (0.25, 8), (0.25, 8)),
+        stratified=False)
+    with mesh:
+        state = NGPTrainState(
+            jax.device_put(params, replicated(mesh)),
+            jax.device_put(tx.init(params), replicated(mesh)),
+        )
+        args = shard_batch(mesh, (o, d, rgb, inst))
+        state2, metrics = step(state, occ_grid, jax.random.key(1), *args)
+    assert np.isfinite(float(metrics["total"]))
+
+    single = make_sharded_ngp_step(
+        apply_fn, tx, make_mesh(n_data=1, n_spatial=1), n_samples=16,
+        stage="instance", k_occupied=8, stratified=False)
+    s1, m1 = single(NGPTrainState(params, tx.init(params)), occ_grid,
+                    jax.random.key(1), o, d, rgb, inst)
+    np.testing.assert_allclose(float(metrics["total"]), float(m1["total"]),
+                               rtol=1e-4)
+    # and the resulting params agree (same grads through shard_map+psum)
+    for a, b in zip(jax.tree_util.tree_leaves(state2.params),
+                    jax.tree_util.tree_leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+
+
 def test_multiscene_step_matches_independent_scenes():
     """Batched multi-scene step == independent per-scene steps (scenes
     shard over dcn x data; adam is elementwise so the stacked update is
