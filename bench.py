@@ -137,22 +137,26 @@ def extra_field_pretrain_rgb_rays_per_s() -> dict:
 
 
 def extra_field_adaptive_k_rays_per_s() -> dict:
-    """Adaptive-K bucket routing (render.py k_buckets): rays sorted by
-    occupancy hit count; the emptiest half runs K=8, quarter K=16,
-    quarter K=32 — per-point work (and the rgb stage's table scatter
-    rows) drop 2x at static shapes."""
+    """Adaptive-K bucket routing (render.py k_buckets), shipping config
+    bktC R=8192 S=64 (probe19/21): rays sorted by coarse-occupancy hit
+    count; the emptiest half runs K=2, quarter K=4, quarter K=8 over 64
+    stratified candidates, 8192 rays/step to amortize the prefix —
+    1.70M rgb / 2.09M instance rays/s scan-true, at instance pixel-acc
+    parity with fixed-K (fast_quality_s64.json: 0.967±0.008 vs 0.971,
+    render PSNR within spread)."""
     from instance_nerf_tpu.train.ngp_trainer import (
         InstanceFieldTrainer,
         fast_ngp_config,
     )
 
     trainer = InstanceFieldTrainer(
-        fast_ngp_config(k_occupied=32, occ_coarse_res=32,
+        fast_ngp_config(n_rays=8192, k_occupied=16, occ_coarse_res=32,
+                        n_samples=64,
                         table_size=2 ** 15, n_levels=3, n_features=4,
-                        k_buckets=((0.5, 8), (0.25, 16), (0.25, 32))))
+                        k_buckets=((0.5, 2), (0.25, 4), (0.25, 8))))
     out = {"n_rays": trainer.cfg.n_rays, "encoding": "fast",
            "table_log2": 15, "levels": 3, "features": 4,
-           "k_buckets": "0.5:8,0.25:16,0.25:32"}
+           "n_samples": 64, "k_buckets": "0.5:2,0.25:4,0.25:8"}
     for stage in ("instance", "rgb"):
         r = trainer.benchmark_train(reps=32, stage=stage, scan_steps=16)
         out[stage] = {"rays_per_s": round(r["rays_per_s"]),

@@ -48,6 +48,14 @@ def build_parser():
                         "this res + fine mask on the K compacted "
                         "samples (0 = single-stage)")
     p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--preset", default="", choices=["", "tpu_fast"],
+                   help="tpu_fast: the quality-validated shipping "
+                        "recipe — packed T=2^15 tables, 3 levels x 4 "
+                        "features, coarse-MXU occupancy, adaptive-K "
+                        "buckets 0.5:2/0.25:4/0.25:8 over 64 stratified "
+                        "candidates, 8192 rays/step (1.70M rgb / 2.09M "
+                        "instance rays/s on v5e; fast_quality_s64.json "
+                        "quality gate). Explicit flags still override.")
     p.add_argument("--encoding", default="hash", choices=["hash", "fast"],
                    help="'hash' = reference-parity shared-corner NGP; "
                         "'fast' = TPU-native brick-grid (fast_encode.py)")
@@ -66,12 +74,44 @@ def build_parser():
     return p
 
 
+def parse_with_provenance(argv=None):
+    """Parse argv and record WHICH flags the user actually typed
+    (args.provided_flags), so presets can fill everything else — even a
+    flag explicitly set to its default value."""
+    args = build_parser().parse_args(argv)
+    sentinel = build_parser()
+    for action in sentinel._actions:
+        action.default = argparse.SUPPRESS
+    args.provided_flags = sorted(vars(sentinel.parse_args(argv)))
+    return args
+
+
+PRESETS = {
+    # quality gate: fast_quality_s64.json; perf: probe19/probe21
+    "tpu_fast": dict(encoding="fast", n_rays=8192, n_samples=64,
+                     k_occupied=16, occ_coarse_res=32,
+                     k_buckets="0.5:2,0.25:4,0.25:8"),
+}
+
+
 def make_trainer(args):
     from instance_nerf_tpu.train.ngp_trainer import (
         InstanceFieldTrainer,
         NGPConfig,
         fast_ngp_config,
     )
+
+    if args.preset:
+        parser = build_parser()
+        provided = set(getattr(args, "provided_flags", ()))
+        for flag, val in PRESETS[args.preset].items():
+            # fill every flag the user didn't type; when provenance is
+            # unavailable (make_trainer called on a bare namespace),
+            # fall back to treating default-valued flags as unset
+            user_set = (flag in provided if provided
+                        else getattr(args, flag) != parser.get_default(flag))
+            if not user_set:
+                setattr(args, flag, val)
 
     common = dict(
         max_res=args.max_res,
@@ -88,7 +128,12 @@ def make_trainer(args):
         ) if args.k_buckets else None,
     )
     if args.encoding == "fast":
-        cfg = fast_ngp_config(**common)
+        if args.preset == "tpu_fast":
+            # packed tables (probe10/12: T=2^15, 3 levels x 4 features)
+            cfg = fast_ngp_config(table_size=2 ** 15, n_levels=3,
+                                  n_features=4, **common)
+        else:
+            cfg = fast_ngp_config(**common)
     else:
         cfg = NGPConfig(
             n_levels=args.n_levels,
@@ -119,7 +164,7 @@ def load_state(trainer, path):
 
 
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    args = parse_with_provenance(argv)
     from instance_nerf_tpu.data.nerf_dataset import load_nerf_scene
 
     trainer = make_trainer(args)
