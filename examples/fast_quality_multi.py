@@ -132,6 +132,14 @@ def main(argv=None):
             pallas_grad=False,
             k_buckets=((0.5, 2), (0.25, 4), (0.25, 8)),
             **{**fast_common, "n_samples": 64}),
+        # S=48 candidates (probe21: rgb 1.75M / instance 2.20M rays/s at
+        # R=8192): the quality question is whether 48 stratified
+        # candidates still land enough samples inside thin occupancy
+        "fast_bktC_S48": lambda: fast_ngp_config(
+            table_size=2 ** 15, n_levels=3, n_features=4,
+            pallas_grad=False,
+            k_buckets=((0.5, 2), (0.25, 4), (0.25, 8)),
+            **{**fast_common, "n_samples": 48}),
     }
     if args.arms:
         configs = [(a, ARM_DEFS[a]) for a in args.arms.split(",") if a]

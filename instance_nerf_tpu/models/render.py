@@ -150,13 +150,23 @@ class RenderOut(NamedTuple):
     weights: jnp.ndarray  # (R, S)
 
 
-def sample_points(key, o, d, n_samples: int, near, far, stratified: bool = True):
-    """Stratified fixed-count samples in [near, far] -> (xyz (R,S,3), t (R,S), dt (R,S))."""
+def sample_points(key, o, d, n_samples: int, near, far, stratified: bool = True,
+                  per_ray_jitter: bool = False):
+    """Stratified fixed-count samples in [near, far] -> (xyz (R,S,3), t (R,S), dt (R,S)).
+
+    ``per_ray_jitter``: ONE uniform offset per ray shared by all its
+    bins (torch-ngp jitters the march start per ray the same way)
+    instead of an independent offset per sample — S x fewer threefry
+    values, which is the dominant cost of this function at S>=48
+    (probe22). Samples remain uniform within their bins; offsets are
+    correlated along the ray.
+    """
     r = o.shape[0]
     u = jnp.linspace(0.0, 1.0, n_samples + 1)
     lo_u, hi_u = u[:-1], u[1:]
     if stratified:
-        jitter = jax.random.uniform(key, (r, n_samples))
+        shape = (r, 1) if per_ray_jitter else (r, n_samples)
+        jitter = jax.random.uniform(key, shape)
     else:
         jitter = 0.5
     tt = lo_u[None] + (hi_u - lo_u)[None] * jitter  # (R, S) in [0,1]
@@ -280,6 +290,7 @@ def render_rays(
     occ_coarse_res: int | None = None,
     k_buckets: tuple | None = None,
     fuse_buckets: bool = True,
+    ray_jitter: bool = False,
 ) -> RenderOut:
     """Full render: AABB clip -> stratified samples -> field query ->
     composite. ``model_apply(params, xyz, viewdir)`` must return
@@ -320,7 +331,8 @@ def render_rays(
     near, far = ray_aabb(origins, dirs)
     valid = far > near
     far = jnp.maximum(far, near + 1e-4)
-    xyz, t, dt = sample_points(key, origins, dirs, n_samples, near, far, stratified)
+    xyz, t, dt = sample_points(key, origins, dirs, n_samples, near, far,
+                               stratified, per_ray_jitter=ray_jitter)
     xyz_c = jnp.clip(xyz, 0.0, 1.0)
 
     use_coarse = (occ_coarse_res is not None and occ is not None
@@ -346,14 +358,41 @@ def render_rays(
         pad_k = max(k for _, k in sizes)
         outs, start = [], 0
         if fuse_buckets:
+            # ONE shared top_k at Kmax, computed in caller ray order
+            # BEFORE the bucket permute: the k smallest sort keys are
+            # exactly the first k of the Kmax smallest (same ascending
+            # order), so each bucket just slices columns. Per-bucket
+            # gathers then move (R, Kmax) compacted rows instead of the
+            # full (R, S) candidate rows (probe22: t[sel] + occ_all[sel]
+            # were ~100 floats/ray at S=48; now ~22).
+            s = occ_all.shape[-1]
+            kmax = max(k for _, k in sizes)
+            sort_key = jnp.where(occ_all > 0, 0, s) + jax.lax.broadcasted_iota(
+                jnp.int32, occ_all.shape, 1
+            )
+            neg_vals, _ = jax.lax.top_k(-sort_key, kmax)
+            vals = -neg_vals  # (R, Kmax) ascending sort_key
+            keep_all = vals < s
+            s_idx = jnp.where(keep_all, vals, vals - s)
+            t_all = jnp.take_along_axis(t, s_idx, axis=1)  # (R, Kmax)
+            keep_all = keep_all.astype(t.dtype)
+            dt0 = dt[:, :1]  # (R, 1) — dt is the constant span/S per ray
             pre, start = [], 0
             for n, k in sizes:
                 sel = jax.lax.dynamic_slice_in_dim(order, start, n)
                 start += n
-                xyz_k, vd, t_k, dt_k, keep_f = _compact_inputs(
-                    origins[sel], dirs[sel], t[sel], dt[sel],
-                    occ_all[sel], occ, k, use_coarse,
+                t_k = t_all[sel][:, :k]
+                keep_f = keep_all[sel][:, :k]
+                o_s, d_s = origins[sel], dirs[sel]
+                xyz_k = jnp.clip(
+                    o_s[:, None, :] + t_k[..., None] * d_s[:, None, :],
+                    0.0, 1.0,
                 )
+                if use_coarse:
+                    # fine-grid mask on just the compacted samples
+                    keep_f = keep_f * occ.occupied(xyz_k)
+                dt_k = jnp.broadcast_to(dt0[sel], t_k.shape)
+                vd = jnp.broadcast_to(d_s[:, None, :], xyz_k.shape)
                 pre.append((n, k, t_k, dt_k, keep_f, valid[sel]))
                 outs.append((xyz_k.reshape(-1, 3), vd.reshape(-1, 3)))
             sig_f, rgb_f, log_f = model_apply(

@@ -76,6 +76,10 @@ class NGPConfig:
     # disjoint VMEM accumulator copies inside the Pallas scatter kernel
     # (breaks the serial RMW chain); 1 = single-copy kernel
     pallas_replicas: int = 1
+    # ONE stratified jitter per ray instead of per sample (torch-ngp
+    # jitters the march start per ray) — S x fewer threefry values;
+    # the RNG is a measurable slice of the prefix at S>=48 (probe22)
+    ray_jitter: bool = False
 
 
 def rays_multi(poses, views, pix, scene):
@@ -181,6 +185,7 @@ class InstanceFieldTrainer:
                     occ_coarse_res=cfg.occ_coarse_res,
                     k_buckets=cfg.k_buckets,
                     fuse_buckets=cfg.fuse_buckets,
+                    ray_jitter=cfg.ray_jitter,
                 )
                 losses = {}
                 rgb_loss = jnp.mean((out.rgb - target_rgb) ** 2)

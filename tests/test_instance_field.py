@@ -312,3 +312,25 @@ def test_adaptive_k_train_step_runs_and_learns():
         losses.append(float(m["rgb"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_sample_points_per_ray_jitter_stratified_bins():
+    """per_ray_jitter keeps every sample inside its stratified bin and
+    shares ONE offset across a ray's bins (S x fewer threefry values —
+    probe22); different rays still get independent offsets."""
+    key = jax.random.PRNGKey(3)
+    r, s = 8, 16
+    o = jnp.zeros((r, 3))
+    d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (r, 1))
+    near = jnp.zeros((r,))
+    far = jnp.ones((r,))
+    _, t, dt = R.sample_points(key, o, d, s, near, far,
+                               stratified=True, per_ray_jitter=True)
+    assert t.shape == (r, s) and dt.shape == (r, s)
+    bins = np.floor(np.asarray(t) * s).clip(0, s - 1)
+    np.testing.assert_array_equal(bins, np.tile(np.arange(s), (r, 1)))
+    # one shared offset per ray: t - bin_lo is constant along the ray
+    frac = np.asarray(t) * s - bins
+    np.testing.assert_allclose(frac, frac[:, :1].repeat(s, 1), rtol=1e-5)
+    # ...but independent across rays
+    assert np.std(frac[:, 0]) > 1e-3
