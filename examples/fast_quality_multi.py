@@ -140,6 +140,14 @@ def main(argv=None):
             pallas_grad=False,
             k_buckets=((0.5, 2), (0.25, 4), (0.25, 8)),
             **{**fast_common, "n_samples": 48}),
+        # per-ray stratified jitter (probe22): offsets correlated along
+        # the ray — the quality question is banding/aliasing in the
+        # trained field at the compacted sample counts
+        "fast_bktC_S48_rayjit": lambda: fast_ngp_config(
+            table_size=2 ** 15, n_levels=3, n_features=4,
+            pallas_grad=False, ray_jitter=True,
+            k_buckets=((0.5, 2), (0.25, 4), (0.25, 8)),
+            **{**fast_common, "n_samples": 48}),
     }
     if args.arms:
         configs = [(a, ARM_DEFS[a]) for a in args.arms.split(",") if a]

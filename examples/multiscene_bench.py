@@ -29,6 +29,11 @@ def main():
     p.add_argument("--steps", type=int, default=64)
     p.add_argument("--spc", type=int, default=16)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--device_data", action="store_true",
+                   help="stage uint8 images/masks in HBM and draw rays "
+                        "on device inside the scan (multiscene.py "
+                        "_stage_device_data) — the host contributes "
+                        "only the PRNG key per dispatch")
     p.add_argument("--out", default="/tmp/multiscene_bench.json")
     p.add_argument("--sweep", default="",
                    help="comma list of fleet sizes (e.g. 8,16,32,64): "
@@ -56,7 +61,8 @@ def main():
                           occ_res=64, occ_coarse_res=32)
     out = {"scenes": args.scenes, "rays": args.rays, "steps": args.steps}
     for spc in (1, args.spc):
-        tr = MultiSceneFieldTrainer(scenes, cfg, seed=0)
+        tr = MultiSceneFieldTrainer(scenes, cfg, seed=0,
+                                    device_data=args.device_data)
         tr.train(spc, stage="rgb", log_every=0, steps_per_call=spc)  # warmup
         t0 = time.time()
         tr.train(args.steps, stage="rgb", log_every=0, steps_per_call=spc)
@@ -95,15 +101,19 @@ def sweep(args):
     rows = []
     tr = None
     for b in sizes:
-        tr = MultiSceneFieldTrainer(scenes[:b], cfg, seed=0)
+        tr = MultiSceneFieldTrainer(scenes[:b], cfg, seed=0,
+                                    device_data=args.device_data)
         spc = args.spc
         tr.train(spc, stage="rgb", log_every=0, steps_per_call=spc)  # warm
-        # host share: time _scan_batch alone (same draws the loop makes)
-        t0 = time.time()
-        for _ in range(4):
-            batch = tr._scan_batch(spc)
-        jax.block_until_ready(batch)
-        host_ms = (time.time() - t0) / 4 * 1000
+        if args.device_data:
+            host_ms = 0.0  # the scan consumes only the PRNG key
+        else:
+            # host share: time _scan_batch alone (the loop's draws)
+            t0 = time.time()
+            for _ in range(4):
+                batch = tr._scan_batch(spc)
+            jax.block_until_ready(batch)
+            host_ms = (time.time() - t0) / 4 * 1000
         t0 = time.time()
         tr.train(args.steps, stage="rgb", log_every=0, steps_per_call=spc)
         dt = time.time() - t0

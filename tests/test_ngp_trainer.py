@@ -77,3 +77,40 @@ def test_extract_rgbsigma_grid(trained):
     assert alpha[c[0], c[1], c[2]] > 0.08
     assert alpha[0, 0, 0] < 0.02
     assert alpha[c[0], c[1], c[2]] > 5 * alpha[0, 0, 0]
+
+
+def test_cli_tpu_fast_preset_provenance():
+    """--preset tpu_fast fills every flag the user didn't type with the
+    quality-validated shipping recipe (fast_quality_s64.json gate), and
+    explicit flags beat the preset EVEN when set to their default value
+    (sentinel-based provenance — plain default-compare can't tell
+    '--n_samples 128' from an untyped default)."""
+    from instance_nerf_tpu.cli.run_instance_field import (
+        build_parser, make_trainer, parse_with_provenance)
+
+    args = parse_with_provenance(
+        ["--preset", "tpu_fast", "--n_rays", "512"])
+    tr = make_trainer(args)
+    cfg = tr.cfg
+    assert cfg.encoding == "fast"
+    assert cfg.n_samples == 64 and cfg.k_occupied == 16
+    assert cfg.occ_coarse_res == 32
+    assert tuple(cfg.k_buckets) == ((0.5, 2), (0.25, 4), (0.25, 8))
+    assert cfg.table_size == 2 ** 15
+    assert (cfg.n_levels, cfg.n_features) == (3, 4)
+    assert cfg.n_rays == 512  # explicit flag survives
+
+    # explicitly typing the DEFAULT value still beats the preset
+    args2 = parse_with_provenance(["--preset", "tpu_fast",
+                                   "--n_samples", "128"])
+    assert make_trainer(args2).cfg.n_samples == 128
+
+    # bare-namespace fallback (make_trainer on parse_args output)
+    args3 = build_parser().parse_args(["--preset", "tpu_fast"])
+    tr3 = make_trainer(args3)
+    assert tr3.cfg.n_rays == 8192 and tr3.cfg.n_samples == 64
+
+    # no preset: legacy defaults untouched
+    args4 = parse_with_provenance(["--encoding", "fast"])
+    cfg4 = make_trainer(args4).cfg
+    assert cfg4.n_samples == 128 and cfg4.table_size == 2 ** 17
