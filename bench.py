@@ -104,7 +104,7 @@ def extra_instance_field_rays_per_s() -> dict:
     trainer = InstanceFieldTrainer(
         fast_ngp_config(k_occupied=32, occ_coarse_res=32,
                         table_size=2 ** 15, n_levels=3, n_features=4))
-    r = trainer.benchmark_train(reps=32, stage="instance", scan_steps=16)
+    r = trainer.benchmark_train(reps=64, stage="instance", scan_steps=32)
     return {"rays_per_s": round(r["rays_per_s"]),
             "step_ms": round(r["step_ms"], 2),
             "n_rays": trainer.cfg.n_rays, "k_occupied": 32,
@@ -128,7 +128,7 @@ def extra_field_pretrain_rgb_rays_per_s() -> dict:
     trainer = InstanceFieldTrainer(
         fast_ngp_config(k_occupied=32, occ_coarse_res=32,
                         table_size=2 ** 15, n_levels=3, n_features=4))
-    r = trainer.benchmark_train(reps=32, stage="rgb", scan_steps=16)
+    r = trainer.benchmark_train(reps=64, stage="rgb", scan_steps=32)
     return {"rays_per_s": round(r["rays_per_s"]),
             "step_ms": round(r["step_ms"], 2),
             "n_rays": trainer.cfg.n_rays, "k_occupied": 32,
@@ -158,7 +158,7 @@ def extra_field_adaptive_k_rays_per_s() -> dict:
            "table_log2": 15, "levels": 3, "features": 4,
            "n_samples": 64, "k_buckets": "0.5:2,0.25:4,0.25:8"}
     for stage in ("instance", "rgb"):
-        r = trainer.benchmark_train(reps=32, stage=stage, scan_steps=16)
+        r = trainer.benchmark_train(reps=64, stage=stage, scan_steps=32)
         out[stage] = {"rays_per_s": round(r["rays_per_s"]),
                       "step_ms": round(r["step_ms"], 2)}
     return out

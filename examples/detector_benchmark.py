@@ -125,9 +125,22 @@ def main(argv=None):
     )
     fcos_metrics = {}
     fcos_train_s = 0.0
+    fcos_provenance = {"skipped": False, "ckpt": fcos_ckpt,
+                       "epochs": args.fcos_epochs,
+                       "batch_size": args.batch_size, "seed": args.seed}
     marker = os.path.join(root, "rois", ".fcos_exported")
     if args.skip_fcos and os.path.exists(marker):
         # reuse the existing ckpt + exports; reload metrics if recorded
+        # and record WHICH checkpoint produced the proposals (VERDICT r4
+        # weak #7: a 0.0 fcos_train_s with no ckpt identity made the
+        # headline unreproducible from the JSON alone)
+        steps = sorted(d for d in os.listdir(fcos_ckpt)
+                       if d.startswith("step_")) if os.path.isdir(fcos_ckpt) \
+            else []
+        fcos_provenance.update(
+            skipped=True, ckpt_steps=steps,
+            ckpt_mtime=os.path.getmtime(fcos_ckpt)
+            if os.path.isdir(fcos_ckpt) else None)
         mpath = os.path.join(root, "fcos_val.json")
         if os.path.exists(mpath):
             with open(mpath) as f:
@@ -215,6 +228,7 @@ def main(argv=None):
             "freeze_backbone": args.freeze_backbone,
         },
         "fcos_val": fcos_metrics,
+        "fcos_provenance": fcos_provenance,
         "rcnn_val": rcnn_metrics,
         "fcos_train_s": round(fcos_train_s, 1),
         "rcnn_train_s": round(rcnn_train_s, 1),

@@ -3,11 +3,15 @@ intermediates in VMEM.
 
 The XLA path (``models/render.py coarse_occupancy_mxu``) evaluates the
 max-pooled 32^3 occupancy at N sample points by factorized one-hot
-einsums. The math is MXU-cheap (2*N*32*1024 FLOPs) but XLA materializes
-the (N, 32, 32) f32 intermediate in HBM — ~1 GB at N=262k, which is the
-entire cost (probe20): the op is pure HBM bandwidth, not compute.
+einsums. probe20 MEASURED that XLA fuses the factorized chain — 0.44 ms
+at N=262k, no (N, 32, 32) HBM intermediate — and that this kernel loses
+3x to it at 32^3 (1.30 ms). The round-4b "1 GB HBM intermediate"
+hypothesis that motivated this kernel was WRONG (BENCH_NOTES round-4c).
 
-This kernel blocks N and keeps everything on-chip:
+The kernel is kept only as the documented fallback for coarse grids too
+large for XLA to fuse (the one-hot FLOPs grow as R^4; 64^3 already tips
+the XLA path to 8.6 ms, probe7). It blocks N and keeps everything
+on-chip:
 
   - the coarse grid, reshaped (32, R^2) bf16, is VMEM-resident across
     the whole grid (index_map pins block (0, 0) every step);

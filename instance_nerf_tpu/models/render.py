@@ -339,6 +339,19 @@ def render_rays(
                   and occ_coarse_res < occ.res)
 
     if k_buckets and occ is not None:
+        # validate up front — a bad ladder (fractions > 1 or K > S)
+        # otherwise surfaces as an opaque trace-time error far from the
+        # CLI string that produced it (ADVICE r4)
+        frac_sum = sum(f for f, _ in k_buckets)
+        if frac_sum > 1.0 + 1e-6:
+            raise ValueError(
+                f"k_buckets fractions sum to {frac_sum:.4f} > 1: "
+                f"{k_buckets}")
+        bad_k = [k for _, k in k_buckets if int(k) > n_samples]
+        if bad_k:
+            raise ValueError(
+                f"k_buckets K values {bad_k} exceed n_samples="
+                f"{n_samples}: {k_buckets}")
         if use_coarse:
             occ_all = coarse_occupancy_mxu(occ, xyz_c, occ_coarse_res)
         else:

@@ -35,6 +35,7 @@ def make_sharded_ngp_step(
     k_buckets: tuple | None = None,
     fuse_buckets: bool = True,
     stratified: bool = True,
+    ray_jitter: bool = False,
 ):
     """Returns jitted ``step(state, occ_grid, key, o, d, rgb, inst) ->
     (state, metrics)`` with ray arrays sharded over ``data``.
@@ -97,7 +98,7 @@ def make_sharded_ngp_step(
                         k_occupied=k_occupied,
                         occ_coarse_res=occ_coarse_res,
                         k_buckets=k_buckets, fuse_buckets=fuse_buckets,
-                        stratified=stratified,
+                        stratified=stratified, ray_jitter=ray_jitter,
                     )
                     parts = _losses(out, rgb_l, inst_l)
                     return tuple(
@@ -118,7 +119,7 @@ def make_sharded_ngp_step(
                 with_instance=stage != "rgb",
                 k_occupied=k_occupied,
                 occ_coarse_res=occ_coarse_res,
-                stratified=stratified,
+                stratified=stratified, ray_jitter=ray_jitter,
             )
             return _metrics(*_losses(out, target_rgb, target_inst))
 
@@ -166,6 +167,7 @@ def make_multiscene_ngp_step(
     k_buckets: tuple | None = None,
     fuse_buckets: bool = True,
     stratified: bool = True,
+    ray_jitter: bool = False,
 ):
     """Batched MULTI-SCENE instance-field training (BASELINE config #5:
     "~1k scenes over a mesh"): every scene carries its own field
@@ -202,7 +204,7 @@ def make_multiscene_ngp_step(
             k_occupied=k_occupied,
             occ_coarse_res=occ_coarse_res,
             k_buckets=k_buckets, fuse_buckets=fuse_buckets,
-            stratified=stratified,
+            stratified=stratified, ray_jitter=ray_jitter,
         )
         rgb_loss = jnp.mean((out.rgb - target_rgb) ** 2)
         total = rgb_loss if stage != "instance" else 0.0

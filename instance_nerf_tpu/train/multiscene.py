@@ -168,6 +168,7 @@ class MultiSceneFieldTrainer:
                 occ_coarse_res=self.cfg.occ_coarse_res,
                 k_buckets=self.cfg.k_buckets,
                 fuse_buckets=self.cfg.fuse_buckets,
+                ray_jitter=self.cfg.ray_jitter,
             )
         return self._steps[stage]
 

@@ -363,13 +363,18 @@ class InstanceFieldTrainer:
             # whole dispatch is still chained `reps` times for stability
             inner = self._make_step(stage)
 
+            # big arrays ride as ARGUMENTS, not closure constants — the
+            # axon remote compiler rejects HTTP bodies with large
+            # captured constants (CLAUDE.md; ADVICE r4)
             @jax.jit
-            def scan_fn(params, opt_state, chain):
+            def scan_fn(params, opt_state, occ_g, rays_o, rays_d,
+                        tgt_rgb, tgt_inst, chain):
                 def body(carry, _):
                     p, s, key = carry
                     key, sk = jax.random.split(key)
-                    p, s, losses = inner(p, s, occ_grid, sk,
-                                         o + chain * 0, d, rgb, inst)
+                    p, s, losses = inner(p, s, occ_g, sk,
+                                         rays_o + chain * 0, rays_d,
+                                         tgt_rgb, tgt_inst)
                     return (p, s, key), losses["rgb"]
 
                 (params, opt_state, _), ls = jax.lax.scan(
@@ -378,14 +383,15 @@ class InstanceFieldTrainer:
                 return params, opt_state, ls[-1]
 
             t0 = time.perf_counter()
-            p, s, chain = scan_fn(self.params, self.opt_state,
-                                  jnp.float32(0))
+            p, s, chain = scan_fn(self.params, self.opt_state, occ_grid,
+                                  o, d, rgb, inst, jnp.float32(0))
             float(chain)
             compile_s = time.perf_counter() - t0
             t0 = time.perf_counter()
             chain = jnp.float32(0)
             for _ in range(max(reps // scan_steps, 2)):
-                p, s, chain = scan_fn(p, s, chain)
+                p, s, chain = scan_fn(p, s, occ_grid, o, d, rgb, inst,
+                                      chain)
             float(chain)
             n_disp = max(reps // scan_steps, 2)
             from instance_nerf_tpu.utils.profiling import (

@@ -24,16 +24,17 @@ def abstractify(tree):
     )
 
 
-def compiled_memory_stats(jitted_fn, *args, **kwargs) -> dict:
+def compiled_memory_stats(jitted_fn, *args, _compiled=None, **kwargs) -> dict:
     """Lower + compile (never execute) and report HBM usage in bytes.
 
     Returns keys: ``temp``, ``arguments``, ``output``, ``alias``,
     ``peak_hbm`` (temp + arguments + output - alias: what the runtime
     must fit alongside the ~258 MB reserved region), and the same in GiB.
     Raises whatever the compiler raises (an OOM error carries the
-    allocation breakdown).
+    allocation breakdown). ``_compiled`` reuses an already-compiled
+    executable (a full SPMD step compile is ~15 min on this host).
     """
-    compiled = jitted_fn.lower(*args, **kwargs).compile()
+    compiled = _compiled or jitted_fn.lower(*args, **kwargs).compile()
     ma = compiled.memory_analysis()
     stats = {
         "temp": int(getattr(ma, "temp_size_in_bytes", 0)),
@@ -63,8 +64,8 @@ def compiled_step_stats(jitted_fn, *args, steps_per_call: int = 1,
     ``steps_per_call`` divides the program's total FLOPs when the
     program scans K train steps per dispatch. Never executes.
     """
-    stats = compiled_memory_stats(jitted_fn, *args, **kwargs)
     compiled = jitted_fn.lower(*args, **kwargs).compile()
+    stats = compiled_memory_stats(jitted_fn, _compiled=compiled)
     ca = compiled.cost_analysis()
     if isinstance(ca, (list, tuple)):  # older jax returns [dict]
         ca = ca[0] if ca else {}
