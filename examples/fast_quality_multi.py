@@ -148,6 +148,23 @@ def main(argv=None):
             pallas_grad=False, ray_jitter=True,
             k_buckets=((0.5, 2), (0.25, 4), (0.25, 8)),
             **{**fast_common, "n_samples": 48}),
+        # K-annealing (VERDICT r4 #6): bucketed bktC for the first 80%
+        # of rgb steps, fixed K=16 for the tail — can the fixed-K tail
+        # recover the ~1.9 dB bktC novel-view PSNR cost at ~80% of the
+        # bucketed throughput?
+        "fast_bktC_S48_anneal": lambda: fast_ngp_config(
+            table_size=2 ** 15, n_levels=3, n_features=4,
+            pallas_grad=False, ray_jitter=True,
+            k_buckets=((0.5, 2), (0.25, 4), (0.25, 8)),
+            **{**fast_common, "n_samples": 48}),
+        # occupancy-driven ladder (VERDICT r4 #1b): warm up bucketed,
+        # then choose the fractions from the MEASURED per-ray hit
+        # histogram (render.choose_k_buckets) instead of 0.5/0.25/0.25
+        "fast_autoK_S48": lambda: fast_ngp_config(
+            table_size=2 ** 15, n_levels=3, n_features=4,
+            pallas_grad=False, ray_jitter=True,
+            k_buckets=((0.5, 2), (0.25, 4), (0.25, 8)),
+            **{**fast_common, "n_samples": 48}),
     }
     if args.arms:
         configs = [(a, ARM_DEFS[a]) for a in args.arms.split(",") if a]
@@ -179,8 +196,28 @@ def main(argv=None):
         for name, mk in configs:
             tr = InstanceFieldTrainer(mk(), seed=seed)
             t0 = time.time()
-            m_rgb = tr.train(scene, args.rgb_steps, stage="rgb",
-                             log_every=0)
+            extra = {}
+            if name.endswith("_anneal"):
+                n1 = int(args.rgb_steps * 0.8)
+                tr.train(scene, n1, stage="rgb", log_every=0)
+                bkts = tr.cfg.k_buckets
+                tr.set_sampling(k_buckets=None, k_occupied=16)
+                m_rgb = tr.train(scene, args.rgb_steps - n1, stage="rgb",
+                                 log_every=0)
+                tr.set_sampling(k_buckets=bkts)  # instance stays bucketed
+            elif name.startswith("fast_autoK"):
+                from instance_nerf_tpu.models.render import choose_k_buckets
+                warm = min(160, args.rgb_steps // 4)
+                tr.train(scene, warm, stage="rgb", log_every=0)
+                ladder = choose_k_buckets(tr.measure_hits(scene),
+                                          ks=(2, 4, 8))
+                extra["ladder"] = ",".join(f"{f}:{k}" for f, k in ladder)
+                tr.set_sampling(k_buckets=ladder)
+                m_rgb = tr.train(scene, args.rgb_steps - warm, stage="rgb",
+                                 log_every=0)
+            else:
+                m_rgb = tr.train(scene, args.rgb_steps, stage="rgb",
+                                 log_every=0)
             m_inst = tr.train(scene, args.inst_steps, stage="instance",
                               log_every=0)
             psnrs, accs = [], []
@@ -198,6 +235,7 @@ def main(argv=None):
                 "instance_ce": round(float(m_inst["instance"]), 4),
                 "instance_pixel_acc": round(float(np.mean(accs)), 4),
                 "wall_s": round(time.time() - t0, 1),
+                **extra,
             }
             rows.append(row)
             print(json.dumps(row), flush=True)

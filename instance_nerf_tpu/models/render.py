@@ -142,6 +142,38 @@ def update_occupancy(
     return OccupancyGrid(jnp.maximum(occ.grid * decay, sig), occ.threshold)
 
 
+def choose_k_buckets(hits, ks=(2, 4, 8), quant: int = 16):
+    """Occupancy-driven bucket ladder (VERDICT r4 #1b/#6): pick the
+    ``k_buckets`` fractions from a MEASURED per-ray hit histogram
+    instead of the static 0.5/0.25/0.25 split.
+
+    ``hits``: (R,) per-ray occupancy hit counts sampled from real
+    training rays (the routing in ``render_rays`` sorts rays by this
+    same statistic, so fraction f of bucket K receives exactly the f
+    emptiest rays). Bucket i's fraction = fraction of rays with
+    ``hits <= ks[i]`` not already covered, rounded DOWN to a multiple
+    of 1/``quant`` — rounding down pushes borderline rays into a
+    bigger-K bucket (never adds truncation), and quantization bounds
+    the number of distinct ladders (and therefore re-jits) at
+    ``quant^(len(ks)-1)``. The last K takes the remainder.
+
+    Returns ``((frac, k), ...)`` suitable for ``NGPConfig.k_buckets``.
+    """
+    import numpy as np
+
+    h = np.asarray(hits, np.float64).reshape(-1)
+    if h.size == 0:
+        raise ValueError("choose_k_buckets needs a non-empty hits sample")
+    fracs, acc = [], 0.0
+    for k in ks[:-1]:
+        f = max(float((h <= k).mean()) - acc, 0.0)
+        f = np.floor(f * quant) / quant
+        fracs.append(f)
+        acc += f
+    fracs.append(round(1.0 - acc, 6))
+    return tuple((float(f), int(k)) for f, k in zip(fracs, ks) if f > 0)
+
+
 class RenderOut(NamedTuple):
     rgb: jnp.ndarray  # (R, 3)
     depth: jnp.ndarray  # (R,)

@@ -265,6 +265,57 @@ class InstanceFieldTrainer:
 
     # -- training ------------------------------------------------------------
 
+    def set_sampling(self, **overrides):
+        """Swap sampler-side config fields mid-run (k_buckets,
+        k_occupied, n_samples, ray_jitter, occ_coarse_res, ...) while
+        keeping params/opt state — the K-annealing and occupancy-driven
+        ladder recipes (VERDICT r4 #6) train phases under different
+        static sampling configs. Invalidates the per-config jitted step
+        cache; the next step pays one re-jit."""
+        import dataclasses
+
+        allowed = {"k_buckets", "k_occupied", "n_samples", "ray_jitter",
+                   "occ_coarse_res", "fuse_buckets"}
+        bad = set(overrides) - allowed
+        if bad:
+            raise ValueError(f"set_sampling: not sampler fields: {bad}")
+        self.cfg = dataclasses.replace(self.cfg, **overrides)
+        self._step_fns.clear()
+        self._render_fns.clear()
+
+    def measure_hits(self, scene: NeRFScene, n_rays: int | None = None,
+                     seed: int = 0):
+        """Per-ray occupancy hit counts on a real ray batch under the
+        CURRENT occupancy grid — the input to ``choose_k_buckets``
+        (render.py): measure, choose the ladder, ``set_sampling``."""
+        from instance_nerf_tpu.models.render import (
+            coarse_occupancy_mxu, ray_aabb, sample_points,
+        )
+
+        cfg = self.cfg
+        n = n_rays or cfg.n_rays
+        v, pix, _, _ = scene.ray_batch(np.random.default_rng(seed), n)
+        poses = jnp.asarray(scene.poses)
+        o, d = self._rays_multi(poses, v, pix, scene)
+
+        @jax.jit
+        def hits_fn(occ_grid, o, d):
+            occ = OccupancyGrid(occ_grid, cfg.occ_threshold)
+            near, far = ray_aabb(o, d)
+            valid = far > near
+            far = jnp.maximum(far, near + 1e-4)
+            xyz, _, _ = sample_points(
+                jax.random.key(seed), o, d, cfg.n_samples, near, far,
+                True, per_ray_jitter=cfg.ray_jitter)
+            xyz = jnp.clip(xyz, 0.0, 1.0)
+            if cfg.occ_coarse_res and cfg.occ_coarse_res < occ.res:
+                occ_all = coarse_occupancy_mxu(occ, xyz, cfg.occ_coarse_res)
+            else:
+                occ_all = occ.occupied(xyz)
+            return jnp.where(valid, occ_all.sum(-1), 0.0)
+
+        return np.asarray(hits_fn(self.occ.grid, o, d))
+
     def train(self, scene: NeRFScene, steps: int, stage: str = "rgb",
               log_every: int = 100, log=print,
               steps_per_call: int | None = None):

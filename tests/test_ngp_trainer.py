@@ -114,3 +114,46 @@ def test_cli_tpu_fast_preset_provenance():
     args4 = parse_with_provenance(["--encoding", "fast"])
     cfg4 = make_trainer(args4).cfg
     assert cfg4.n_samples == 128 and cfg4.table_size == 2 ** 17
+
+
+def test_choose_k_buckets_from_histogram():
+    from instance_nerf_tpu.models.render import choose_k_buckets
+
+    # 60% of rays hit <=2 cells, 20% <=4, 20% more
+    hits = np.asarray([1] * 60 + [4] * 20 + [9] * 20, np.float32)
+    ladder = choose_k_buckets(hits, ks=(2, 4, 8), quant=16)
+    fracs = {k: f for f, k in ladder}
+    # rounding is DOWN for the lower buckets (never adds truncation)
+    assert fracs[2] <= 0.60 + 1e-9 and fracs[2] >= 0.60 - 1 / 16
+    assert abs(sum(f for f, _ in ladder) - 1.0) < 1e-6
+    assert ladder[-1][1] == 8
+    # degenerate: everything empty -> one bucket at the smallest K
+    ladder2 = choose_k_buckets(np.zeros(32), ks=(2, 4, 8))
+    assert ladder2[0] == (1.0, 2)
+
+
+def test_set_sampling_and_measure_hits():
+    from instance_nerf_tpu.models.render import choose_k_buckets
+    from instance_nerf_tpu.train.ngp_trainer import fast_ngp_config
+
+    rng = np.random.default_rng(3)
+    scene, _ = make_synthetic_nerf_scene(rng, n_views=4, hw=(24, 24),
+                                         n_blobs=2)
+    tr = InstanceFieldTrainer(fast_ngp_config(
+        n_rays=256, n_samples=32, table_size=2 ** 10, n_levels=2,
+        n_features=2, occ_res=32, occ_coarse_res=16, num_instances=5,
+        k_buckets=((0.5, 2), (0.5, 8))), seed=0)
+    m0 = tr.train(scene, steps=20, stage="rgb", log_every=0)
+    hits = tr.measure_hits(scene, n_rays=256)
+    assert hits.shape == (256,) and np.isfinite(hits).all()
+    ladder = choose_k_buckets(hits, ks=(2, 4, 8))
+    tr.set_sampling(k_buckets=ladder)
+    assert tr.cfg.k_buckets == ladder and not tr._step_fns
+    m1 = tr.train(scene, steps=20, stage="rgb", log_every=0)
+    assert np.isfinite(m1["rgb"])
+    # annealing to fixed-K keeps training (params carried over)
+    tr.set_sampling(k_buckets=None, k_occupied=8)
+    m2 = tr.train(scene, steps=20, stage="rgb", log_every=0)
+    assert np.isfinite(m2["rgb"])
+    with pytest.raises(ValueError):
+        tr.set_sampling(lr=1.0)
