@@ -148,6 +148,27 @@ def main(argv=None):
             pallas_grad=False, ray_jitter=True,
             k_buckets=((0.5, 2), (0.25, 4), (0.25, 8)),
             **{**fast_common, "n_samples": 48}),
+        # probe23/23b throughput leaders (round 5): thinner bktE ladder
+        # (0.625:2/0.25:4/0.125:8, avg K 3.25), L2F6 row packing (2
+        # levels x 6 features — same 12-dim encode, 2/3 the scattered
+        # rows), and S=32 candidates. Quality questions: truncation at
+        # the thinner ladder, capacity of 2 brick levels, and
+        # thin-structure coverage with 32 stratified candidates.
+        "fast_bktE_S48": lambda: fast_ngp_config(
+            table_size=2 ** 15, n_levels=3, n_features=4,
+            pallas_grad=False, ray_jitter=True,
+            k_buckets=((0.625, 2), (0.25, 4), (0.125, 8)),
+            **{**fast_common, "n_samples": 48}),
+        "fast_L2F6_bktE_S48": lambda: fast_ngp_config(
+            table_size=2 ** 15, n_levels=2, n_features=6,
+            pallas_grad=False, ray_jitter=True,
+            k_buckets=((0.625, 2), (0.25, 4), (0.125, 8)),
+            **{**fast_common, "n_samples": 48}),
+        "fast_L2F6_bktE_S32": lambda: fast_ngp_config(
+            table_size=2 ** 15, n_levels=2, n_features=6,
+            pallas_grad=False, ray_jitter=True,
+            k_buckets=((0.625, 2), (0.25, 4), (0.125, 8)),
+            **{**fast_common, "n_samples": 32}),
         # K-annealing (VERDICT r4 #6): bucketed bktC for the first 80%
         # of rgb steps, fixed K=16 for the tail — can the fixed-K tail
         # recover the ~1.9 dB bktC novel-view PSNR cost at ~80% of the

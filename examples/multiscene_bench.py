@@ -96,8 +96,15 @@ def sweep(args):
         make_synthetic_nerf_scene(rng, n_views=4, hw=(64, 64), n_blobs=2)[0]
         for _ in range(max(sizes))
     ]
-    cfg = fast_ngp_config(n_rays=args.rays, n_samples=64, k_occupied=16,
-                          occ_res=64, occ_coarse_res=32)
+    # the SHIPPING packed field config (bench.py field_adaptive_k):
+    # T=2^15 tables, 3 levels x 4 features — per-scene params ~1.6 MB,
+    # so the B=64 fleet state stays ~100 MB (the round-4 185 s orbax
+    # save was the OLD 2^17 x 6-level config, ~6x the bytes, serialized
+    # on a contended CPU core)
+    cfg = fast_ngp_config(n_rays=args.rays, n_samples=48, k_occupied=16,
+                          occ_res=64, occ_coarse_res=32,
+                          table_size=2 ** 15, n_levels=3, n_features=4,
+                          ray_jitter=True)
     rows = []
     tr = None
     for b in sizes:

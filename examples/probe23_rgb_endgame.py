@@ -161,7 +161,11 @@ def main():
         p2, s2, losses = step(p, s_, occ_g, jax.random.key(0),
                               o_ + c * 0, d_, rgb_,
                               jnp.zeros((R,), jnp.int32))
-        return losses["rgb"]
+        # chain through an UPDATED param leaf — returning only the loss
+        # lets XLA DCE the whole backward+adam (first run of this part
+        # measured fwd-only, 3.60 ms == full_fwd)
+        leaf = jax.tree_util.tree_leaves(p2)[0]
+        return losses["rgb"] + jnp.sum(leaf).astype(jnp.float32) * 1e-30
 
     parts["full_step"] = round(scan_ms(
         full_step, params, opt_state, occ_grid, o, d, rgb_t), 3)

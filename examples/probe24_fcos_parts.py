@@ -12,11 +12,17 @@ Scan-true parts (32 steps per dispatch unless noted), vgg_EF 160^3:
   fwd            model.apply train=True, bf16
   loss_only      fcos_loss on PRECOMPUTED head outputs (assignment cost)
   fwd_loss       loss_fn value only
-  fwd_bwd        value_and_grad (no optimizer)
+  fwd_bwd        value_and_grad, chained through ALL grad leaves
   opt_only       clip_by_global_norm + adamw on fixed grads
-  full           the shipping step (control = BENCH number)
-  full_b2        batch 2 + remat, per-SCENE ms reported
+  full           the shipping step, state THREADED through the scan
+                 (control = BENCH number)
+  full_b{2,4}    batch 2/4 + remat, per-SCENE ms reported
   full_maxgt64   control at max_gt=64 (the bench extra's config)
+
+NOTE the first landed run (committed probe24_fcos_parts.json rev 1) had
+two DCE holes — fwd_bwd chained one grad leaf, full_* discarded the
+updated state — so its fwd_bwd/full numbers under-measured; this
+version closes both.
 
 Default max_gt=16 (the synbench training config). Writes
 /tmp/probe24.json atomically per part.
@@ -144,8 +150,12 @@ def main():
     def fwd_bwd(c, p, g, *a):
         val, grads = jax.value_and_grad(
             lambda pp: loss_fn(pp, g + c * 0, *a))(p)
-        leaf = jax.tree_util.tree_leaves(grads)[0]
-        return val + jnp.sum(leaf).astype(jnp.float32) * 1e-30
+        # chain through EVERY grad leaf — consuming only one leaf lets
+        # XLA DCE the other layers' weight-gradient contractions (~half
+        # the backward FLOPs); first run of this probe did exactly that
+        gsum = sum(jnp.sum(l).astype(jnp.float32)
+                   for l in jax.tree_util.tree_leaves(grads))
+        return val + gsum * 1e-30
 
     out["fwd_bwd_ms"] = round(scan_ms(
         fwd_bwd, state.params, grids, sizes, gt_boxes, gt_mask), 2)
@@ -167,20 +177,37 @@ def main():
     print("opt_only", out["opt_only_ms"], flush=True); write(out)
 
     # -- full step (control) + batch scaling --------------------------------
+    # The scan must THREAD the state: the first run of this probe
+    # returned only metrics["total"] from a non-threaded body, so XLA
+    # DCE'd the backward+adam (full_b1 45.77 == fwd_loss 45.33).
     for name, batch, remat, mgt in (
         ("full_b1", 1, False, MAX_GT),
         ("full_b1_remat", 1, True, MAX_GT),
         ("full_b2_remat", 2, True, MAX_GT),
+        ("full_b4_remat", 4, True, MAX_GT),
         ("full_b1_maxgt64", 1, False, 64),
     ):
         raw = make_fcos_train_step(model, tx, jit_step=False, remat=remat)
         b = make_batch(batch, mgt, np.random.default_rng(1))
 
-        def full(c, st, g, sz, gb, gm):
-            st2, metrics = raw(st, g + c * 0, sz, gb, gm)
-            return metrics["total"]
+        @jax.jit
+        def full_scan(st, chain, g, sz, gb, gm, raw=raw):
+            def body(carry, _):
+                st, c = carry
+                st2, metrics = raw(st, g + c * 0, sz, gb, gm)
+                return (st2, metrics["total"]), None
+            (st, c), _ = jax.lax.scan(body, (st, chain), None, length=16)
+            return c + jnp.sum(
+                jax.tree_util.tree_leaves(st.params)[0]
+            ).astype(jnp.float32) * 1e-30
 
-        ms = scan_ms(full, state, *b, length=16)
+        float(full_scan(state, jnp.float32(0), *b))  # compile + warm
+        t0 = time.perf_counter()
+        c = jnp.float32(0)
+        for _ in range(2):  # chained reps amortize dispatch overhead
+            c = full_scan(state, c, *b)
+        float(c)
+        ms = (time.perf_counter() - t0) / 2 / 16 * 1000
         out[name + "_ms"] = round(ms, 2)
         out[name + "_per_scene_ms"] = round(ms / batch, 2)
         print(name, round(ms, 2), flush=True); write(out)
