@@ -138,25 +138,28 @@ def extra_field_pretrain_rgb_rays_per_s() -> dict:
 
 def extra_field_adaptive_k_rays_per_s() -> dict:
     """Adaptive-K bucket routing (render.py k_buckets), shipping config
-    bktC R=8192 S=64 (probe19/21): rays sorted by coarse-occupancy hit
-    count; the emptiest half runs K=2, quarter K=4, quarter K=8 over 64
-    stratified candidates, 8192 rays/step to amortize the prefix —
-    1.70M rgb / 2.09M instance rays/s scan-true, at instance pixel-acc
-    parity with fixed-K (fast_quality_s64.json: 0.967±0.008 vs 0.971,
-    render PSNR within spread)."""
+    L2F6 bktE S=32 R=12288 (probe23/23b): 2 brick levels x 6 features
+    row packing, rays sorted by coarse-occupancy hit count, the
+    emptiest 62.5% run K=2 / 25% K=4 / 12.5% K=8 over 32 stratified
+    candidates, 12288 rays/step to amortize the prefix — 2.14M rgb /
+    2.51M instance rays/s scan-true (probe23b_s32.json), at instance
+    pixel-acc parity with fixed-K (fast_quality_r5.json: L2F6_bktE_S32
+    0.970±0.008 acc, render PSNR 15.37±0.60 vs bktC-anneal control
+    15.1±0.8; R is a pure batch-amortization knob on top of the gated
+    encoding/ladder/S)."""
     from instance_nerf_tpu.train.ngp_trainer import (
         InstanceFieldTrainer,
         fast_ngp_config,
     )
 
     trainer = InstanceFieldTrainer(
-        fast_ngp_config(n_rays=8192, k_occupied=16, occ_coarse_res=32,
-                        n_samples=64,
-                        table_size=2 ** 15, n_levels=3, n_features=4,
-                        k_buckets=((0.5, 2), (0.25, 4), (0.25, 8))))
+        fast_ngp_config(n_rays=12288, k_occupied=16, occ_coarse_res=32,
+                        n_samples=32, ray_jitter=True,
+                        table_size=2 ** 15, n_levels=2, n_features=6,
+                        k_buckets=((0.625, 2), (0.25, 4), (0.125, 8))))
     out = {"n_rays": trainer.cfg.n_rays, "encoding": "fast",
-           "table_log2": 15, "levels": 3, "features": 4,
-           "n_samples": 64, "k_buckets": "0.5:2,0.25:4,0.25:8"}
+           "table_log2": 15, "levels": 2, "features": 6,
+           "n_samples": 32, "k_buckets": "0.625:2,0.25:4,0.125:8"}
     for stage in ("instance", "rgb"):
         r = trainer.benchmark_train(reps=64, stage=stage, scan_steps=32)
         out[stage] = {"rays_per_s": round(r["rays_per_s"]),

@@ -42,7 +42,11 @@ def build_parser():
                    help="adaptive-K routing, 'frac:K,frac:K,...' e.g. "
                         "'0.5:8,0.25:16,0.25:32' — rays sorted by "
                         "occupancy hits, emptiest fraction gets the "
-                        "smallest K (render.py:render_rays)")
+                        "smallest K (render.py:render_rays); or 'auto' "
+                        "to choose the fractions from the measured "
+                        "per-ray hit histogram after a short warmup "
+                        "(render.py:choose_k_buckets — the best-quality "
+                        "arm in fast_quality_r5.json)")
     p.add_argument("--occ_coarse_res", type=int, default=0,
                    help="two-stage occupancy: coarse MXU selection at "
                         "this res + fine mask on the K compacted "
@@ -50,12 +54,13 @@ def build_parser():
     p.add_argument("--lr", type=float, default=1e-2)
     p.add_argument("--preset", default="", choices=["", "tpu_fast"],
                    help="tpu_fast: the quality-validated shipping "
-                        "recipe — packed T=2^15 tables, 3 levels x 4 "
+                        "recipe — packed T=2^15 tables, 2 levels x 6 "
                         "features, coarse-MXU occupancy, adaptive-K "
-                        "buckets 0.5:2/0.25:4/0.25:8 over 64 stratified "
-                        "candidates, 8192 rays/step (1.70M rgb / 2.09M "
-                        "instance rays/s on v5e; fast_quality_s64.json "
-                        "quality gate). Explicit flags still override.")
+                        "buckets 0.625:2/0.25:4/0.125:8 over 32 "
+                        "stratified candidates, 12288 rays/step "
+                        "(2.14M rgb / 2.51M instance rays/s on v5e; "
+                        "fast_quality_r5.json quality gate). Explicit "
+                        "flags still override.")
     p.add_argument("--encoding", default="hash", choices=["hash", "fast"],
                    help="'hash' = reference-parity shared-corner NGP; "
                         "'fast' = TPU-native brick-grid (fast_encode.py)")
@@ -87,10 +92,10 @@ def parse_with_provenance(argv=None):
 
 
 PRESETS = {
-    # quality gate: fast_quality_s64.json; perf: probe19/probe21
-    "tpu_fast": dict(encoding="fast", n_rays=8192, n_samples=64,
+    # quality gate: fast_quality_r5.json; perf: probe23/probe23b
+    "tpu_fast": dict(encoding="fast", n_rays=12288, n_samples=32,
                      k_occupied=16, occ_coarse_res=32,
-                     k_buckets="0.5:2,0.25:4,0.25:8"),
+                     k_buckets="0.625:2,0.25:4,0.125:8"),
 }
 
 
@@ -113,6 +118,17 @@ def make_trainer(args):
             if not user_set:
                 setattr(args, flag, val)
 
+    if args.k_buckets == "auto":
+        # start on the shipping bktE ladder; train mode re-chooses the
+        # fractions from the measured hit histogram after warmup
+        # (choose_k_buckets) and swaps via set_sampling
+        k_buckets = ((0.625, 2), (0.25, 4), (0.125, 8))
+    elif args.k_buckets:
+        k_buckets = tuple(
+            (float(f), int(k)) for f, k in
+            (pair.split(":") for pair in args.k_buckets.split(",")))
+    else:
+        k_buckets = None
     common = dict(
         max_res=args.max_res,
         num_instances=args.num_instances,
@@ -122,16 +138,15 @@ def make_trainer(args):
         occ_res=args.occ_res,
         k_occupied=args.k_occupied or None,
         occ_coarse_res=args.occ_coarse_res or None,
-        k_buckets=tuple(
-            (float(f), int(k)) for f, k in
-            (pair.split(":") for pair in args.k_buckets.split(","))
-        ) if args.k_buckets else None,
+        k_buckets=k_buckets,
     )
     if args.encoding == "fast":
         if args.preset == "tpu_fast":
-            # packed tables (probe10/12: T=2^15, 3 levels x 4 features)
-            cfg = fast_ngp_config(table_size=2 ** 15, n_levels=3,
-                                  n_features=4, **common)
+            # packed tables (probe23/23b: T=2^15, 2 levels x 6 features,
+            # per-ray stratified jitter — the fast_quality_r5 ship arm)
+            cfg = fast_ngp_config(table_size=2 ** 15, n_levels=2,
+                                  n_features=6, ray_jitter=True,
+                                  **common)
         else:
             cfg = fast_ngp_config(**common)
     else:
@@ -178,9 +193,24 @@ def main(argv=None):
             downscale=args.downscale,
         )
         stage = "rgb" if args.mode == "train" else "instance"
-        metrics = trainer.train(scene, args.steps, stage=stage,
+        steps = args.steps
+        extra = {}
+        if args.k_buckets == "auto" and stage == "rgb":
+            from instance_nerf_tpu.models.render import choose_k_buckets
+
+            warm = min(160, steps // 4)
+            if warm:
+                trainer.train(scene, warm, stage="rgb", log_every=0,
+                              steps_per_call=args.steps_per_call or None)
+            ladder = choose_k_buckets(trainer.measure_hits(scene))
+            trainer.set_sampling(k_buckets=ladder)
+            steps -= warm
+            extra["k_buckets_auto"] = ",".join(
+                f"{f}:{k}" for f, k in ladder)
+        metrics = trainer.train(scene, steps, stage=stage,
                                 log_every=args.log_every,
                                 steps_per_call=args.steps_per_call or None)
+        metrics.update(extra)
         print(json.dumps(metrics))
         if args.save_path:
             save_state(trainer, args.save_path, args, metrics)

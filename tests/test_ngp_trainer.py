@@ -81,7 +81,7 @@ def test_extract_rgbsigma_grid(trained):
 
 def test_cli_tpu_fast_preset_provenance():
     """--preset tpu_fast fills every flag the user didn't type with the
-    quality-validated shipping recipe (fast_quality_s64.json gate), and
+    quality-validated shipping recipe (fast_quality_r5.json gate), and
     explicit flags beat the preset EVEN when set to their default value
     (sentinel-based provenance — plain default-compare can't tell
     '--n_samples 128' from an untyped default)."""
@@ -93,11 +93,12 @@ def test_cli_tpu_fast_preset_provenance():
     tr = make_trainer(args)
     cfg = tr.cfg
     assert cfg.encoding == "fast"
-    assert cfg.n_samples == 64 and cfg.k_occupied == 16
+    assert cfg.n_samples == 32 and cfg.k_occupied == 16
     assert cfg.occ_coarse_res == 32
-    assert tuple(cfg.k_buckets) == ((0.5, 2), (0.25, 4), (0.25, 8))
+    assert tuple(cfg.k_buckets) == ((0.625, 2), (0.25, 4), (0.125, 8))
     assert cfg.table_size == 2 ** 15
-    assert (cfg.n_levels, cfg.n_features) == (3, 4)
+    assert (cfg.n_levels, cfg.n_features) == (2, 6)
+    assert cfg.ray_jitter is True
     assert cfg.n_rays == 512  # explicit flag survives
 
     # explicitly typing the DEFAULT value still beats the preset
@@ -108,7 +109,14 @@ def test_cli_tpu_fast_preset_provenance():
     # bare-namespace fallback (make_trainer on parse_args output)
     args3 = build_parser().parse_args(["--preset", "tpu_fast"])
     tr3 = make_trainer(args3)
-    assert tr3.cfg.n_rays == 8192 and tr3.cfg.n_samples == 64
+    assert tr3.cfg.n_rays == 12288 and tr3.cfg.n_samples == 32
+
+    # --k_buckets auto: constructs on the bktE ladder (train mode
+    # re-chooses from the measured histogram)
+    args5 = parse_with_provenance(["--encoding", "fast",
+                                   "--k_buckets", "auto"])
+    cfg5 = make_trainer(args5).cfg
+    assert tuple(cfg5.k_buckets) == ((0.625, 2), (0.25, 4), (0.125, 8))
 
     # no preset: legacy defaults untouched
     args4 = parse_with_provenance(["--encoding", "fast"])
@@ -157,3 +165,38 @@ def test_set_sampling_and_measure_hits():
     assert np.isfinite(m2["rgb"])
     with pytest.raises(ValueError):
         tr.set_sampling(lr=1.0)
+
+
+def test_cli_train_auto_k_buckets(tmp_path):
+    """--k_buckets auto end-to-end: warmup on the bktE ladder, then the
+    CLI measures the hit histogram, swaps the ladder via set_sampling,
+    and reports it in the metrics line (VERDICT r5: the autoK arm is
+    the fast_quality_r5 quality ceiling, so it ships as a CLI mode)."""
+    import json as _json
+
+    from instance_nerf_tpu.cli import run_instance_field as cli
+    from instance_nerf_tpu.data.nerf_dataset import (
+        make_synthetic_nerf_scene, write_nerf_scene)
+
+    rng = np.random.default_rng(0)
+    scene, _ = make_synthetic_nerf_scene(rng, n_views=3, hw=(16, 16),
+                                         n_blobs=1)
+    root = str(tmp_path / "scene")
+    write_nerf_scene(root, scene)
+    out = str(tmp_path / "ckpt")
+    argv = ["--mode", "train", "--scene", root, "--encoding", "fast",
+            "--k_buckets", "auto", "--steps", "12", "--n_rays", "256",
+            "--n_samples", "16", "--occ_res", "32", "--log_every", "0",
+            "--save_path", out]
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        cli.main(argv)
+    metrics = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    ladder = metrics["k_buckets_auto"]
+    pairs = [p.split(":") for p in ladder.split(",")]
+    assert abs(sum(float(f) for f, _ in pairs) - 1.0) < 1e-6
+    assert [int(k) for _, k in pairs] == sorted(
+        int(k) for _, k in pairs)
