@@ -1,8 +1,10 @@
 #!/bin/bash
 # Round-5 TPU queue, stage B. Run AFTER tpu_queue_r5d.sh finishes.
-# Order: timing-sensitive probes first (quiet host), then the pipeline
-# re-cert, then the resumable chunked OBB retrain (dataset + checkpoint
-# were lost in the VM move; data regen is seeded/deterministic).
+# Timing-sensitive probes first (quiet host), then the pipeline re-cert,
+# then a bench.py certification run of the new shipping config. The OBB
+# retrain moved to tpu_queue_r5f.sh (after the yaw fix lands — VERDICT
+# r4 #5: retraining the same recipe would reproduce the 20-58 deg theta
+# errors).
 # Usage: nohup bash examples/tpu_queue_r5e.sh > /root/scratch/queue_r5e.log 2>&1 &
 set -u
 cd /root/repo
@@ -25,10 +27,8 @@ timeout 6000 python -u examples/full_pipeline_synthetic.py \
     --out examples/results/pipeline_e2e.json
 echo "=== [3/4] exit=$? $(date -u)"
 
-echo "=== [4/4] OBB regen + chunked retrain (resumable; eval per chunk) $(date -u)"
-timeout 10800 python -u examples/obb_end_to_end.py \
-    --root /root/scratch/synobb --out examples/results/obb_e2e.json \
-    --num_scenes 24 --resolution 128 --epochs 240 --chunk_epochs 40 \
-    --batch_size 4
+echo "=== [4/4] bench.py certification of the L2F6_bktE_S32 ship config $(date -u)"
+timeout 3600 python -u bench.py > /root/scratch/bench_r5_cert.json
 echo "=== [4/4] exit=$? $(date -u)"
+cat /root/scratch/bench_r5_cert.json
 echo "=== queue r5e done $(date -u)"
