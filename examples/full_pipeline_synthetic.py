@@ -107,6 +107,7 @@ def main():
     m = field.train(scene, args.ngp_steps, stage="rgb", log_every=10 ** 9)
     G = args.grid
     grid = field.extract_rgbsigma((G, G, G))
+    np.save(os.path.join(wd, "rgbsigma.npy"), grid)  # for stage-4 forensics
     land("1", psnr=round(float(m["psnr"]), 2),
          stage1_wall_s=round(time.time() - t0, 1))
 

@@ -29,8 +29,17 @@ def project_voxel_masks(
     weight_thresh: float = 0.3,
     sigma_scale: float = 30.0,
     chunk: int = 8192,
+    min_weight: float = 0.02,
 ) -> np.ndarray:
-    """-> (H, W) int32: per-pixel instance id (0 where none)."""
+    """-> (H, W) int32: per-pixel instance id (0 where none).
+
+    ``weight_thresh`` is the instance's share of the ray's TOTAL
+    accumulated weight (relative, not absolute): the absolute form
+    silently dropped every pixel when the extracted field's density
+    scale was low or the background carried fog — the round-5 pipeline
+    re-cert matched 0 views through it. ``min_weight`` additionally
+    requires the ray to have hit anything at all.
+    """
     h, w = hw
     o_all, d_all = camera_rays(pose, intrinsics, hw)
     res = jnp.asarray(inst_grid.shape, jnp.float32)
@@ -57,10 +66,12 @@ def project_voxel_masks(
         # per-instance accumulated weight via segment-sum over ids
         onehot = jax.nn.one_hot(inst, num_ids, dtype=wgt.dtype)
         acc = jnp.einsum("rs,rsk->rk", wgt, onehot)  # (R, K)
+        total = jnp.sum(wgt, axis=-1)  # incl. id-0 (background) weight
         acc = acc.at[:, 0].set(0.0)  # id 0 = no instance
         best = jnp.argmax(acc, axis=-1)
         best_w = jnp.max(acc, axis=-1)
-        return jnp.where(best_w > weight_thresh, best, 0).astype(jnp.int32)
+        pick = (best_w > weight_thresh * total) & (total > min_weight)
+        return jnp.where(pick, best, 0).astype(jnp.int32)
 
     out = []
     n = h * w

@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -49,8 +50,51 @@ class ConvBlock(nn.Module):
         return x
 
 
-def max_pool_3d(x, window: int = 2, stride: int = 2, padding: str = "SAME"):
-    """3D max pool on NDHWC. padding='SAME' reproduces ceil_mode=True."""
+def _axis_max_pool_s2(x, axis: int, window: int):
+    """Stride-2 max along one axis, reduce_window-SAME semantics, built
+    from pad/reshape/slice + elementwise max only.
+
+    Why not ``lax.reduce_window``: its VJP lowers to SelectAndScatter,
+    whose TPU emitter is a known slow path. The reshape form's backward
+    is a dense eq-mask multiply that XLA fuses (A/B: probe25).
+    """
+    n = x.shape[axis]
+    out = -(-n // 2)
+    if window == 1:
+        return jax.lax.slice_in_dim(x, 0, n, stride=2, axis=axis)
+    neg = jnp.finfo(x.dtype).min
+    pad_total = max((out - 1) * 2 + window - n, 0)
+    pad_lo = pad_total // 2
+    cfg = [(0, 0, 0)] * x.ndim
+    # pad high side to at least 2*out (+1 for the window-3 tail slice)
+    need = 2 * out + (1 if window == 3 else 0)
+    cfg[axis] = (pad_lo, need - n - pad_lo, 0)
+    xp = jax.lax.pad(x, jnp.asarray(neg, x.dtype), cfg)
+    pair_shape = xp.shape[:axis] + (out, 2) + xp.shape[axis + 1:]
+    pairs = jnp.max(
+        jax.lax.slice_in_dim(xp, 0, 2 * out, axis=axis).reshape(pair_shape),
+        axis=axis + 1,
+    )
+    if window == 2:
+        return pairs
+    tail = jax.lax.slice_in_dim(xp, 2, 2 * out + 1, stride=2, axis=axis)
+    return jnp.maximum(pairs, tail)
+
+
+def max_pool_3d(x, window: int = 2, stride: int = 2, padding: str = "SAME",
+                impl: str = "reshape"):
+    """3D max pool on NDHWC. padding='SAME' reproduces ceil_mode=True.
+
+    ``impl='reshape'`` (default) uses the separable pad/reshape/max form
+    — forward-identical to reduce_window, with a dense backward instead
+    of TPU's slow SelectAndScatter. ``impl='reduce_window'`` keeps the
+    stock lowering (probe25's control arm).
+    """
+    if impl == "reshape" and stride == 2 and window in (1, 2, 3) \
+            and padding == "SAME":
+        for axis in (1, 2, 3):
+            x = _axis_max_pool_s2(x, axis, window)
+        return x
     return nn.max_pool(
         x,
         window_shape=(window,) * 3,

@@ -61,15 +61,24 @@ def compiled_step_stats(jitted_fn, *args, steps_per_call: int = 1,
     jitted program, from the compiler alone — the reference exposes no
     analog (its benchmark modes, run_rcnn.py:729-752, time only).
 
+    FLOPs come from ``utils.flops.count_flops`` (an exact jaxpr walk of
+    conv/dot primitives): the remote-PJRT ``cost_analysis()['flops']``
+    under-counts convolutions ~9x (it read the 11.3-TFLOP FCOS step as
+    1.30 TFLOP, the source of round-4's bogus 3.7%-MFU figure). The
+    cost-analysis value is still reported as ``flops_cost_analysis``.
+
     ``steps_per_call`` divides the program's total FLOPs when the
     program scans K train steps per dispatch. Never executes.
     """
+    from instance_nerf_tpu.utils.flops import count_flops
+
     compiled = jitted_fn.lower(*args, **kwargs).compile()
     stats = compiled_memory_stats(jitted_fn, _compiled=compiled)
     ca = compiled.cost_analysis()
     if isinstance(ca, (list, tuple)):  # older jax returns [dict]
         ca = ca[0] if ca else {}
-    flops = float((ca or {}).get("flops", 0.0)) / max(steps_per_call, 1)
+    stats["flops_cost_analysis"] = float((ca or {}).get("flops", 0.0))
+    flops = count_flops(jitted_fn, *args, **kwargs) / max(steps_per_call, 1)
     stats["flops_per_step"] = flops
     stats["tflops_per_step"] = round(flops / 1e12, 3)
     if step_ms and flops:

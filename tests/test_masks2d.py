@@ -181,3 +181,32 @@ def test_async_predictor_propagates_errors():
         import pytest as _pytest
         with _pytest.raises(ValueError):
             pred.get()
+
+
+def test_project_voxel_masks_relative_threshold():
+    """The projector must find instances regardless of the extracted
+    field's absolute density scale (the round-5 pipeline re-cert matched
+    0 views through the old absolute weight threshold)."""
+    import jax.numpy as jnp
+
+    from instance_nerf_tpu.data.nerf_dataset import make_synthetic_nerf_scene
+    from instance_nerf_tpu.masks2d.project_masks import project_voxel_masks
+
+    rng = np.random.default_rng(0)
+    scene, gt_boxes_unit = make_synthetic_nerf_scene(
+        rng, n_views=1, hw=(32, 32), n_blobs=2)
+    G = 32
+    inst = np.zeros((G, G, G), np.int32)
+    for k, b in enumerate((gt_boxes_unit * G)):
+        lo = np.floor(b[:3]).astype(int)
+        hi = np.ceil(b[3:]).astype(int)
+        inst[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]] = k + 1
+
+    for scale in (0.9, 0.02):  # opaque and weak fields alike
+        alpha = (inst > 0).astype(np.float32) * scale
+        ids = project_voxel_masks(
+            jnp.asarray(inst), jnp.asarray(alpha),
+            jnp.asarray(scene.poses[0]), scene.intrinsics, scene.hw,
+            n_samples=64, chunk=1024)
+        assert (ids > 0).sum() > 10, scale
+        assert set(np.unique(ids)) - {0} <= {1, 2}
