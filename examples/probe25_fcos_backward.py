@@ -6,10 +6,21 @@ probe24 (honest, DCE-closed) left: fwd_loss 45.2 ms / fwd_bwd 174.5 ms
 round-4's "3.7% MFU" claim): the honest forward already runs at
 ~86 TFLOPS (ABOVE the repo's 81.5-TFLOPS conv microbench) and the full
 step sits at 32% MFU. The remaining gap is all in the backward
-(129 ms vs the ~93 ms 2x-forward floor). Prime suspect: max_pool's
-VJP lowers to SelectAndScatter, a known-slow TPU path; layers.py now
-defaults to a separable pad/reshape/max pool whose backward is a dense
-eq-mask multiply (forward bit-identical; tests/test_layers.py).
+(129 ms vs the ~93 ms 2x-forward floor). Suspect tested: max_pool's
+VJP lowers to SelectAndScatter, a known-slow TPU path; layers.py grew
+a separable pad/reshape/max pool whose backward is a dense eq-mask
+multiply (forward bit-identical; tests/test_flops_pool.py).
+
+MEASURED OUTCOME (examples/results/probe25_fcos_backward.json): the
+reshape pool is a NEGATIVE (full step 234.9 ms vs 178.2 stock — the
+dense backward materializes more HBM traffic than SelectAndScatter
+saves), so reduce_window stays the default. The honest decomposition:
+fwd 45 ms @ 84 TFLOPS, head fwd+bwd 51 ms @ 111 TFLOPS, backbone
+fwd+bwd ~123 ms @ ~41 TFLOPS (shipping impl) — the step runs at 63
+TFLOPS end-to-end = 32% MFU of v5e peak, within 1.28x of the repo's
+own 81.5-TFLOPS conv microbench composite; the remaining inefficiency
+is the backbone's backward (low-channel stem/stage-1 convs, GN
+bandwidth passes), not assignment/optimizer/batch effects.
 
 Arms (scan-true, 16 steps/dispatch, vgg_EF 160^3 bf16, max_gt=16):
   fwd_all_{rw,rs}       forward consuming ALL head outputs, both pool impls

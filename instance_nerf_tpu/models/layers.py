@@ -54,9 +54,12 @@ def _axis_max_pool_s2(x, axis: int, window: int):
     """Stride-2 max along one axis, reduce_window-SAME semantics, built
     from pad/reshape/slice + elementwise max only.
 
-    Why not ``lax.reduce_window``: its VJP lowers to SelectAndScatter,
-    whose TPU emitter is a known slow path. The reshape form's backward
-    is a dense eq-mask multiply that XLA fuses (A/B: probe25).
+    Measured NEGATIVE on v5e (probe25): the hypothesis was that
+    reduce_window's SelectAndScatter VJP is the slow path, but the
+    reshape form's backward (eq-mask multiplies + pad-reduces over the
+    80^3 x 64 stem activation) is SLOWER end-to-end — FCOS full step
+    234.9 ms vs 178.2 ms stock. Kept as the documented alternative;
+    the default stays ``reduce_window``.
     """
     n = x.shape[axis]
     out = -(-n // 2)
@@ -82,13 +85,14 @@ def _axis_max_pool_s2(x, axis: int, window: int):
 
 
 def max_pool_3d(x, window: int = 2, stride: int = 2, padding: str = "SAME",
-                impl: str = "reshape"):
+                impl: str = "reduce_window"):
     """3D max pool on NDHWC. padding='SAME' reproduces ceil_mode=True.
 
-    ``impl='reshape'`` (default) uses the separable pad/reshape/max form
-    — forward-identical to reduce_window, with a dense backward instead
-    of TPU's slow SelectAndScatter. ``impl='reduce_window'`` keeps the
-    stock lowering (probe25's control arm).
+    ``impl='reshape'`` uses the separable pad/reshape/max form —
+    forward-identical to reduce_window with a dense-elementwise
+    backward. probe25 measured it SLOWER than the stock
+    SelectAndScatter backward on v5e (FCOS step 234.9 vs 178.2 ms),
+    so ``reduce_window`` is the default.
     """
     if impl == "reshape" and stride == 2 and window in (1, 2, 3) \
             and padding == "SAME":
