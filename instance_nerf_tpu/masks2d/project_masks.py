@@ -33,12 +33,16 @@ def project_voxel_masks(
 ) -> np.ndarray:
     """-> (H, W) int32: per-pixel instance id (0 where none).
 
-    ``weight_thresh`` is the instance's share of the ray's TOTAL
-    accumulated weight (relative, not absolute): the absolute form
-    silently dropped every pixel when the extracted field's density
-    scale was low or the background carried fog — the round-5 pipeline
-    re-cert matched 0 views through it. ``min_weight`` additionally
-    requires the ray to have hit anything at all.
+    ``weight_thresh`` is the winning instance's share of the ray's
+    accumulated INSTANCE weight (id>0 samples only): the original
+    absolute form silently dropped every pixel when the extracted
+    field's density scale was low (the round-5 pipeline re-cert matched
+    0 views), and a share-of-total form is defeated by NGP background
+    floaters — real extracted grids carry median background alpha
+    ~0.03, which soaks up ~70% of ray weight before the first instance.
+    Inter-INSTANCE occlusion still suppresses (the occluder wins the
+    share); ``min_weight`` rejects rays whose instance weight is
+    negligible (fog-buried or off-instance).
     """
     h, w = hw
     o_all, d_all = camera_rays(pose, intrinsics, hw)
@@ -66,11 +70,11 @@ def project_voxel_masks(
         # per-instance accumulated weight via segment-sum over ids
         onehot = jax.nn.one_hot(inst, num_ids, dtype=wgt.dtype)
         acc = jnp.einsum("rs,rsk->rk", wgt, onehot)  # (R, K)
-        total = jnp.sum(wgt, axis=-1)  # incl. id-0 (background) weight
         acc = acc.at[:, 0].set(0.0)  # id 0 = no instance
+        total_inst = jnp.sum(acc, axis=-1)
         best = jnp.argmax(acc, axis=-1)
         best_w = jnp.max(acc, axis=-1)
-        pick = (best_w > weight_thresh * total) & (total > min_weight)
+        pick = (best_w > weight_thresh * total_inst) & (best_w > min_weight)
         return jnp.where(pick, best, 0).astype(jnp.int32)
 
     out = []
