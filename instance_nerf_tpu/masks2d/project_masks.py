@@ -62,7 +62,14 @@ def project_voxel_masks(
                        jnp.asarray(inst_grid.shape) - 1)
         inst = inst_grid[idx[..., 0], idx[..., 1], idx[..., 2]]  # (R, S)
         alpha_v = alpha_grid[idx[..., 0], idx[..., 1], idx[..., 2]]
-        sigma = alpha_v * sigma_scale
+        # march INSTANCE density only: extracted NGP fields carry
+        # background fog/floaters the RGB loss never forbids (it can
+        # emit background color), and on the real pipe_r5b grid that
+        # crust absorbed transmittance to ~0.005 before the first
+        # instance voxel. The 3D masks are the objects being projected;
+        # occlusion BETWEEN detected instances is preserved (the
+        # occluder accumulates first), fog is treated as transparent.
+        sigma = alpha_v * sigma_scale * (inst > 0)
         a = 1.0 - jnp.exp(-sigma * dt)
         trans = jnp.cumprod(1.0 - a + 1e-10, axis=-1)
         trans = jnp.concatenate([jnp.ones_like(trans[:, :1]), trans[:, :-1]], -1)
