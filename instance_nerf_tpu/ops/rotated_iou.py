@@ -81,7 +81,15 @@ def _corners_in_box(corners1, corners2):
     n_ad = jnp.sum(ad * ad, axis=-1)
     r_ab = p_ab / jnp.maximum(n_ab, EPS)
     r_ad = p_ad / jnp.maximum(n_ad, EPS)
-    tol = 1e-6
+    # Tolerance must cover fp32 rounding of the rotated-corner
+    # arithmetic: at coordinates ~100 the normalized projection of an
+    # exactly-on-edge corner lands within ~1e-5 of {0, 1}, so 1e-6 made
+    # on-boundary corners fail RANDOMLY by theta — for IDENTICAL boxes
+    # this kept only half the polygon and returned self-IoU = 1/3
+    # (5.5% of random boxes), putting a spurious barrier at the optimum
+    # of the -log(IoU) OBB reg loss. 1e-4 of the edge length (~4e-3
+    # voxel at room scale) is geometrically negligible.
+    tol = 1e-4
     return (r_ab > -tol) & (r_ab < 1 + tol) & (r_ad > -tol) & (r_ad < 1 + tol)
 
 

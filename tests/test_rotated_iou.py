@@ -162,3 +162,23 @@ def test_iou_bounded_for_garbage_boxes():
     iou2d = np.asarray(iou2d)
     assert np.isfinite(iou2d).all()
     assert (iou2d >= 0.0).all() and (iou2d <= 1.0 + 1e-5).all()
+
+
+def test_self_iou_is_one_across_thetas():
+    """Regression: fp32 rounding of rotated corners made on-boundary
+    corners fail the inside test at tol=1e-6, returning self-IoU = 1/3
+    for ~5% of boxes — a spurious barrier at the optimum of the
+    -log(IoU) OBB reg loss (round-5 theta-plateau root cause)."""
+    rng = np.random.default_rng(7)
+    n = 500
+    c = rng.uniform(30, 90, (n, 3))
+    wl = rng.uniform(8, 40, (n, 2))
+    h = rng.uniform(8, 40, (n, 1))
+    th = rng.uniform(-np.pi / 2, np.pi / 2, (n, 1))
+    boxes = jnp.asarray(np.concatenate([c, wl, h, th], -1), jnp.float32)
+    iou = np.asarray(R.cal_iou_3d(boxes[:, None, :], boxes[:, None, :]))[:, 0]
+    assert iou.min() > 0.999, float(iou.min())
+    # and at unit scale
+    small = boxes.at[:, :6].multiply(0.01)
+    ious = np.asarray(R.cal_iou_3d(small[:, None, :], small[:, None, :]))[:, 0]
+    assert ious.min() > 0.999, float(ious.min())
