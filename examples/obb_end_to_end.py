@@ -88,6 +88,11 @@ def main(argv=None):
         # rotated-IoU alone plateaus at loose theta (obb_e2e recall@0.5
         # 0.45 at 80 epochs with IoU-only)
         use_additional_l1_loss=True,
+        # 2D corner-projection consistency: the rotated diagonal corners
+        # move linearly with yaw, giving theta a gradient where the
+        # -log(IoU) surface flattens (round-5 theta attack; obb_e2e at
+        # 120 epochs read theta_err_mean 40 deg without it)
+        proj2d_loss_weight=1.0,
         batch_size=args.batch_size,
         num_epochs=args.epochs,
         stop_after_epochs=max(0, args.chunk_epochs),

@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--iou_loss_type", default="iou",
                    choices=["iou", "linear_iou", "giou", "diou", "smooth_l1"])
     p.add_argument("--use_additional_l1_loss", action="store_true")
+    p.add_argument("--proj2d_loss_weight", type=float, default=0.0,
+                   help="2D corner-projection aux loss for OBB "
+                        "(ref run_fcos.py:111; voxel-scale decode)")
     p.add_argument("--steps_per_call", type=int, default=1,
                    help="updates per device dispatch (lax.scan)")
     p.add_argument("--conv_at_start", action="store_true")

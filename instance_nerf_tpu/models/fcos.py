@@ -428,6 +428,8 @@ def fcos_loss(
     norm_reg_targets: bool = True,
     use_obb: bool = False,
     use_additional_l1_loss: bool = False,
+    proj2d_loss_weight: float = 0.0,
+    proj2d_res: int = 160,
     axis_name: str | None = None,
 ):
     """Full FCOS loss (ref: loss.py:477-591). Returns dict of scalars."""
@@ -479,6 +481,34 @@ def fcos_loss(
         if use_additional_l1_loss:
             l1 = jnp.sum(smooth_l1(box_reg_s[..., 6:], reg_t_s[..., 6:]), -1) * ctr_t
             reg_loss = reg_loss + jnp.sum(jnp.where(pos, l1, 0.0)) / sum_ctr_avg
+        if proj2d_loss_weight > 0:
+            # 2D corner-projection consistency (ref: loss.py:447-475,
+            # 579-585; off by default like run_fcos.py:111). The rotated
+            # diagonal corners (obb2points_3d) move linearly with theta,
+            # so this supervises yaw directly where -log(IoU) flattens.
+            # Unlike the reference we decode at VOXEL scale (undo the
+            # stride normalization): with normalized offsets the projected
+            # differences are ~100x smaller than the reference's own
+            # beta=1/9 smooth-L1 knee, making the term vanish.
+            from instance_nerf_tpu.ops.boxes import obb2points_3d
+            from instance_nerf_tpu.ops.projection import projection_loss_points
+
+            scale = info.strides[:, None] if norm_reg_targets else 1.0
+            pred_vox = jnp.concatenate(
+                [box_reg_s[..., :6] * scale, box_reg_s[..., 6:]], axis=-1
+            )
+            tgt_vox = jnp.concatenate(
+                [reg_t_s[..., :6] * scale, reg_t_s[..., 6:]], axis=-1
+            )
+            dummy3 = jnp.zeros(pred_vox.shape[:-1] + (3,))
+            pb = decode_fcos_obb(dummy3, pred_vox).reshape(-1, 7)
+            tb = decode_fcos_obb(dummy3, tgt_vox).reshape(-1, 7)
+            w2 = jnp.where(pos, ctr_t, 0.0).reshape(-1)
+            l2d = projection_loss_points(
+                obb2points_3d(pb), obb2points_3d(tb),
+                jnp.concatenate([w2, w2]), res=proj2d_res,
+            ) / sum_ctr_avg
+            reg_loss = reg_loss + proj2d_loss_weight * l2d
     else:
         per = iou_loss_6dist(box_reg_s, reg_t_s, iou_loss_type) * ctr_t
         reg_loss = jnp.sum(jnp.where(pos, per, 0.0)) / sum_ctr_avg

@@ -68,6 +68,7 @@ def make_fcos_train_step(
     iou_loss_type: str = "iou",
     use_obb: bool = False,
     use_additional_l1_loss: bool = False,
+    proj2d_loss_weight: float = 0.0,
     jit_step: bool = True,
     remat: bool = False,
 ):
@@ -97,6 +98,7 @@ def make_fcos_train_step(
                 iou_loss_type=iou_loss_type,
                 use_obb=use_obb,
                 use_additional_l1_loss=use_additional_l1_loss,
+                proj2d_loss_weight=proj2d_loss_weight,
             )
             total = (
                 losses["loss_cls"]

@@ -73,6 +73,7 @@ class FCOSConfig:
     center_sampling_radius: float = 1.5
     iou_loss_type: str = "iou"
     use_additional_l1_loss: bool = False
+    proj2d_loss_weight: float = 0.0
     # augmentation
     flip_prob: float = 0.5
     rotate_prob: float = 0.5
@@ -406,6 +407,7 @@ class FCOSTrainer:
             iou_loss_type=cfg.iou_loss_type,
             use_obb=cfg.rotated_bbox,
             use_additional_l1_loss=cfg.use_additional_l1_loss,
+            proj2d_loss_weight=cfg.proj2d_loss_weight,
             remat=cfg.remat,
         )
         if cfg.device_data:
@@ -671,6 +673,7 @@ class FCOSTrainer:
             center_sampling_radius=cfg.center_sampling_radius,
             iou_loss_type=cfg.iou_loss_type, use_obb=cfg.rotated_bbox,
             use_additional_l1_loss=cfg.use_additional_l1_loss,
+            proj2d_loss_weight=cfg.proj2d_loss_weight,
             jit_step=False,
         )
         rng = np.random.default_rng(0)
