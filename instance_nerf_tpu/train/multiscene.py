@@ -394,21 +394,51 @@ class MultiSceneFieldTrainer:
         via InstanceFieldTrainer)."""
         return jax.tree_util.tree_map(lambda x: x[i], self.state.params)
 
-    def save(self, path: str, step: int = 0, metrics=None):
+    def save(self, path: str, step: int = 0, metrics=None,
+             background: bool = False):
         """Checkpoint the whole fleet (stacked params + opt state +
-        occupancy) — resume is bit-exact including adam moments."""
+        occupancy) — resume is bit-exact including adam moments.
+
+        ``background=True`` runs the device->host fetch + disk write on a
+        daemon thread so training continues underneath: at B=64 the save
+        is transfer-dominated (~4 min through the axon tunnel,
+        BENCH_NOTES round-5), and nothing in the fleet step donates
+        buffers, so the snapshotted param/opt arrays stay valid while
+        the thread drains them. A second save (or ``wait_for_save``)
+        joins the in-flight one first — at most one writer per trainer."""
+        import threading
+
         from instance_nerf_tpu.train.checkpoints import CheckpointManager
 
-        mgr = CheckpointManager(path, keep=2)
-        mgr.save(step, {"params": self.state.params,
-                        "opt_state": self.state.opt_state,
-                        "occ_grids": self.occ_grids},
-                 config={"n_scenes": len(self.scenes)},
-                 metrics=metrics or {})
+        self.wait_for_save()
+        state = {"params": self.state.params,
+                 "opt_state": self.state.opt_state,
+                 "occ_grids": self.occ_grids}
+        cfg = {"n_scenes": len(self.scenes)}
+
+        def _write():
+            mgr = CheckpointManager(path, keep=2)
+            mgr.save(step, state, config=cfg, metrics=metrics or {})
+
+        if not background:
+            _write()
+            return
+        self._save_thread = threading.Thread(
+            target=_write, name="fleet-ckpt-save", daemon=True
+        )
+        self._save_thread.start()
+
+    def wait_for_save(self):
+        """Join an in-flight background save (no-op if none)."""
+        t = getattr(self, "_save_thread", None)
+        if t is not None and t.is_alive():
+            t.join()
+        self._save_thread = None
 
     def restore(self, path: str):
         from instance_nerf_tpu.train.checkpoints import CheckpointManager
 
+        self.wait_for_save()
         mgr = CheckpointManager(path)
         tmpl = {"params": self.state.params,
                 "opt_state": self.state.opt_state,

@@ -272,3 +272,37 @@ def test_multiscene_device_data_path():
     # memory helper: the opt-in guard callers use
     assert MultiSceneFieldTrainer.fleet_data_bytes(4, 2, (16, 16)) == \
         4 * 2 * 256 * 4
+
+
+def test_multiscene_background_save_snapshots_at_call_time(tmp_path):
+    """background=True must checkpoint the state AS OF the save call even
+    while training keeps stepping underneath (no step donates buffers, so
+    the snapshotted leaves stay valid for the writer thread)."""
+    from instance_nerf_tpu.data.nerf_dataset import make_synthetic_nerf_scene
+    from instance_nerf_tpu.train.multiscene import MultiSceneFieldTrainer
+    from instance_nerf_tpu.train.ngp_trainer import fast_ngp_config
+
+    rng = np.random.default_rng(2)
+    scenes = [make_synthetic_nerf_scene(rng, n_views=2, hw=(16, 16),
+                                        n_blobs=1)[0] for _ in range(4)]
+    cfg = fast_ngp_config(
+        n_rays=32, n_samples=8, k_occupied=4, n_levels=2,
+        table_size=256, dense_res=4, dense_features=2, hidden=8,
+        num_instances=3, occ_res=8, occ_update_every=5, dtype="float32",
+    )
+    tr = MultiSceneFieldTrainer(scenes, cfg, seed=0)
+    tr.train(3, stage="rgb", log_every=10**9)
+    want = [np.asarray(x) for x in jax.tree_util.tree_leaves(tr.state.params)]
+    tr.save(str(tmp_path / "fleet"), step=3, background=True)
+    tr.train(3, stage="rgb", log_every=10**9)  # mutates tr.state binding
+    tr.wait_for_save()
+    tr.wait_for_save()  # idempotent
+
+    tr2 = MultiSceneFieldTrainer(scenes, cfg, seed=9)
+    tr2.restore(str(tmp_path / "fleet"))
+    got = [np.asarray(x) for x in jax.tree_util.tree_leaves(tr2.state.params)]
+    for a, b in zip(want, got):
+        np.testing.assert_array_equal(a, b)
+    # the post-save training moved on from the snapshot
+    now = [np.asarray(x) for x in jax.tree_util.tree_leaves(tr.state.params)]
+    assert any(not np.array_equal(a, b) for a, b in zip(want, now))
