@@ -87,8 +87,14 @@ def main():
     # ---- stage 0: synthetic scene; last `holdout` views excluded from
     # EVERY training stage -------------------------------------------------
     n_train = args.views - args.holdout
+    # view-filling scene (blobs ~1/3 of the cube, close orbit): at the
+    # generator defaults instances cover only ~1-5% of pixels, which
+    # label-starves the stage-5 instance field (round-5 forensics:
+    # matched masks carried 20-120 px/view -> holdout mIoU 0)
     full, gt_boxes_unit = make_synthetic_nerf_scene(
-        rng, n_views=args.views, hw=(args.hw, args.hw), n_blobs=3)
+        rng, n_views=args.views, hw=(args.hw, args.hw), n_blobs=3,
+        blob_lo=(0.1, 0.45), blob_size=(0.25, 0.4),
+        cam_radius=1.05, cam_height=0.95)
     scene = NeRFScene(full.images[:n_train], full.poses[:n_train],
                       full.intrinsics, full.hw, full.masks[:n_train])
     scene_dir = os.path.join(wd, "scene")

@@ -177,10 +177,21 @@ def make_synthetic_nerf_scene(
     hw=(48, 48),
     n_blobs: int = 3,
     fov: float = 0.9,
+    blob_lo=(0.15, 0.6),
+    blob_size=(0.15, 0.3),
+    cam_radius: float = 1.6,
+    cam_height: float = 1.3,
 ):
     """Analytic volumetric scene (colored boxes in the unit cube) rendered
     by exact ray marching — ground truth images + instance masks for
-    overfit tests. Returns (NeRFScene, blob boxes (K, 6) in unit coords)."""
+    overfit tests. Returns (NeRFScene, blob boxes (K, 6) in unit coords).
+
+    ``blob_lo``/``blob_size`` bound the box corners/extents;
+    ``cam_radius``/``cam_height`` place the orbit cameras. The defaults
+    give small, sparse instances (~1-2% of pixels at 64x64) — fine for
+    overfit tests, too label-starved for instance-field generalization.
+    Pipeline-style drivers should pass view-filling values (bigger
+    blobs, closer orbit) so 2D segments carry enough labeled rays."""
     import jax
     import jax.numpy as jnp
 
@@ -189,8 +200,8 @@ def make_synthetic_nerf_scene(
     boxes = []
     colors = []
     for _ in range(n_blobs):
-        lo = rng.uniform(0.15, 0.6, 3)
-        hi = lo + rng.uniform(0.15, 0.3, 3)
+        lo = rng.uniform(*blob_lo, 3)
+        hi = lo + rng.uniform(*blob_size, 3)
         boxes.append(np.concatenate([lo, np.minimum(hi, 0.9)]))
         colors.append(rng.uniform(0.2, 1.0, 3))
     boxes = np.stack(boxes)
@@ -222,7 +233,8 @@ def make_synthetic_nerf_scene(
     key = jax.random.key(0)
     for v in range(n_views):
         ang = 2 * np.pi * v / n_views
-        eye = np.array([0.5 + 1.6 * np.cos(ang), 0.5 + 1.6 * np.sin(ang), 1.3])
+        eye = np.array([0.5 + cam_radius * np.cos(ang),
+                        0.5 + cam_radius * np.sin(ang), cam_height])
         c2w = look_at_pose(eye)
         o, d = camera_rays(jnp.asarray(c2w, jnp.float32), intr, hw)
         near, far = ray_aabb(o, d)
@@ -232,12 +244,17 @@ def make_synthetic_nerf_scene(
         sigma_raw, rgb, inst = field(jnp.clip(xyz, 0, 1))
         out = composite(sigma_raw, rgb, None, t, dt, valid=valid.astype(jnp.float32))
         images.append(np.asarray(out.rgb).reshape(h, w, 3))
-        # instance mask: id at first solid sample along the ray
+        # instance mask: weight-majority id along the ray. (A threshold on
+        # the MAX SINGLE-SAMPLE weight is dt-dependent — at 96 samples
+        # over a ~1.5-unit span the per-sample weight of a fully opaque
+        # blob hovers around 0.5, so whole VIEWS flipped to empty masks
+        # depending on the near/far span. Accumulated weight per id is
+        # sampling-density invariant: an opaque first hit sums to ~1.)
         wgt = np.asarray(out.weights)
         inst_np = np.asarray(inst)
-        best = wgt.argmax(axis=1)
-        ids = inst_np[np.arange(inst_np.shape[0]), best]
-        ids = np.where(wgt.max(axis=1) > 0.5, ids, 0)
+        inst_oh = inst_np[..., None] == np.arange(1, n_blobs + 1)
+        acc = (wgt[..., None] * inst_oh).sum(axis=1)  # (rays, K)
+        ids = np.where(acc.sum(axis=1) > 0.5, acc.argmax(axis=1) + 1, 0)
         masks.append(ids.reshape(h, w).astype(np.int32))
         poses.append(np.asarray(c2w, np.float32))
 
