@@ -95,3 +95,42 @@ def test_proj2d_masked_positions_stay_nan_free():
     )(reg)
     assert np.isfinite(float(out["loss_reg"]))
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_obb_encode_decode_theta_roundtrip():
+    """Midpoint-offset encode -> decode recovers yaw exactly (under the
+    box symmetry group) for arbitrary boxes — rules the representation
+    out whenever theta errors appear in training (round-5 forensics:
+    the 40deg plateau was the rotated-IoU self-overlap bug + missing
+    proj2d term, NOT the coder)."""
+    rng = np.random.default_rng(0)
+    n = 200
+    c = rng.uniform(20, 100, (n, 3))
+    wlh = rng.uniform(6, 40, (n, 3))
+    th = rng.uniform(-np.pi, np.pi, (n, 1))
+    boxes = jnp.asarray(np.concatenate([c, wlh, th], -1), jnp.float32)
+    locs = jnp.asarray(c + rng.uniform(-2, 2, (n, 3)), jnp.float32)
+    dec = np.asarray(F.decode_fcos_obb(locs, F.encode_fcos_obb(locs, boxes)))
+    b = np.asarray(boxes)
+    # canonical theta error under (w,l,th) ~ (l,w,th+90) ~ (w,l,th+180)
+    errs = []
+    for i in range(n):
+        best = 1e9
+        for cw, cl, cth in ((b[i, 3], b[i, 4], b[i, 6]),
+                            (b[i, 4], b[i, 3], b[i, 6] + np.pi / 2)):
+            dt = (dec[i, 6] - cth + np.pi / 2) % np.pi - np.pi / 2
+            best = min(best, abs(dt))
+        errs.append(np.degrees(best))
+    # mean is ~0.05 deg; isolated near-axis-aligned boxes can hit the
+    # encode near_aabb threshold (0.1-voxel corner tie) and lose a few
+    # degrees — a coder edge shared with the reference formula
+    errs = np.asarray(errs)
+    assert errs.mean() < 0.5, errs.mean()
+    assert np.percentile(errs, 95) < 1.0, np.percentile(errs, 95)
+    assert errs.max() < 15.0, errs.max()
+    # geometric round-trip: decoded box overlaps the original near-perfectly
+    from instance_nerf_tpu.ops.rotated_iou import cal_iou_3d
+
+    ious = np.asarray(cal_iou_3d(jnp.asarray(dec)[None], boxes[None]))[0]
+    assert np.median(ious) > 0.97, np.median(ious)
+    assert (ious > 0.9).mean() > 0.95, (ious > 0.9).mean()
