@@ -197,6 +197,28 @@ def brick_resolutions(n_levels: int = 6, base_res: int = 32,
     return np.round(base_res * b ** np.arange(n_levels)).astype(np.int64)
 
 
+def mask_to_instance_head(tree):
+    """Zero every leaf of a grad/update pytree outside the instance head.
+
+    The instance stage trains the instance MLP against a FROZEN NeRF
+    (reference recipe: the instance field is trained on a fixed
+    pretrained NGP, README.md:47-65). ``InstanceNGPFast.instance`` already
+    stop-gradients its *input* features, but the CE loss still
+    differentiates through the compositing weights w(sigma) — without
+    this mask the density field warps per-view during instance training
+    (observed: holdout rgb PSNR 37 -> 20 and displaced instance masks).
+    Leaf paths containing a module named ``inst_*`` are kept; everything
+    else (tables, sigma/color MLPs) is zeroed.
+    """
+    def _mask(path, leaf):
+        keep = any(
+            str(getattr(k, "key", "")).startswith("inst_") for k in path
+        )
+        return leaf if keep else jnp.zeros_like(leaf)
+
+    return jax.tree_util.tree_map_with_path(_mask, tree)
+
+
 class InstanceNGPFast(nn.Module):
     """TPU-native instance-field NeRF: dense MXU base + brick-hash levels.
 

@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from instance_nerf_tpu.models.fast_encode import mask_to_instance_head
 from instance_nerf_tpu.models.render import OccupancyGrid, render_rays
 from instance_nerf_tpu.parallel.mesh import data_sharding, replicated
 
@@ -126,7 +127,12 @@ def make_sharded_ngp_step(
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
+        if stage == "instance":
+            # frozen-NeRF instance training: see mask_to_instance_head.
+            grads = mask_to_instance_head(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        if stage == "instance":
+            updates = mask_to_instance_head(updates)
         params = optax.apply_updates(state.params, updates)
         return NGPTrainState(params, opt_state), metrics
 
@@ -235,7 +241,12 @@ def make_multiscene_ngp_step(
             return jnp.sum(metrics["total"]), metrics
 
         grads, metrics = jax.grad(scene_loss_sum, has_aux=True)(state.params)
+        if stage == "instance":
+            # frozen-NeRF instance training: see mask_to_instance_head.
+            grads = mask_to_instance_head(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        if stage == "instance":
+            updates = mask_to_instance_head(updates)
         params = optax.apply_updates(state.params, updates)
         mean_metrics = {k: jnp.mean(v) for k, v in metrics.items()}
         return NGPTrainState(params, opt_state), mean_metrics

@@ -377,17 +377,58 @@ class MultiSceneFieldTrainer:
         return {k2: float(v) for k2, v in last.items()}
 
     def _update_occupancy(self):
-        g = self.cfg.occ_res
-        cells = np.stack(np.meshgrid(*[np.arange(g)] * 3, indexing="ij"),
-                         axis=-1).reshape(-1, 3)
         self.key, jk = jax.random.split(self.key)
-        jitter = jax.random.uniform(jk, (cells.shape[0], 3))
-        xyz = (jnp.asarray(cells) + jitter) / g
+        self.occ_grids = self._occ_update_fn()(
+            self.state.params, self.occ_grids, jk)
+
+    def _occ_update_fn(self):
+        """ONE jitted dispatch for the whole fleet's occupancy refresh.
+
+        The round-4 version built the G^3 cell lattice on the host and
+        ran query + decay + max as separate eager dispatches — probe26
+        measured it growing superlinearly with B (149 ms at B=8 ->
+        3122 ms at B=32, occ_res 64). Here the lattice is generated
+        on-device, and with ``cfg.occ_subsample < 1`` only M =
+        frac * G^3 random cells per scene are re-queried and
+        scatter-maxed into the decayed grid — cost O(B * M), with the
+        0.95 EMA decay retiring stale never-resampled cells
+        (torch-ngp's update_extra_state samples cell subsets the same
+        way)."""
+        k = ("occ_update", self.cfg.occ_subsample)
+        if k in self._steps:
+            return self._steps[k]
+        g = self.cfg.occ_res
         b = len(self.scenes)
-        xyz_b = jnp.broadcast_to(xyz[None], (b, *xyz.shape))
-        sig = self._sigma_all(self.state.params, xyz_b)  # (B, G^3)
-        sig = sig.reshape(b, g, g, g)
-        self.occ_grids = jnp.maximum(self.occ_grids * 0.95, sig)
+        frac = self.cfg.occ_subsample
+        sigma_all = self._sigma_all
+
+        if frac >= 1.0:
+            def upd(params, occ_grids, key):
+                cells = jnp.stack(
+                    jnp.meshgrid(*[jnp.arange(g)] * 3, indexing="ij"),
+                    axis=-1).reshape(-1, 3)
+                jitter = jax.random.uniform(key, (b, g ** 3, 3))
+                xyz = (cells[None] + jitter) / g
+                sig = sigma_all(params, xyz).reshape(b, g, g, g)
+                return jnp.maximum(occ_grids * 0.95, sig)
+        else:
+            m = max(1, int(g ** 3 * frac))
+
+            def upd(params, occ_grids, key):
+                kc, kj = jax.random.split(key)
+                cid = jax.random.randint(kc, (b, m), 0, g ** 3)
+                coords = jnp.stack(
+                    [cid // (g * g), (cid // g) % g, cid % g], axis=-1)
+                jitter = jax.random.uniform(kj, (b, m, 3))
+                xyz = (coords + jitter) / g
+                sig = sigma_all(params, xyz)  # (B, M)
+                flat = occ_grids.reshape(b, g ** 3) * 0.95
+                flat = jax.vmap(
+                    lambda gr, i, s: gr.at[i].max(s))(flat, cid, sig)
+                return flat.reshape(b, g, g, g)
+
+        self._steps[k] = jax.jit(upd)
+        return self._steps[k]
 
     def scene_params(self, i: int):
         """Extract one scene's params (e.g. for single-scene rendering

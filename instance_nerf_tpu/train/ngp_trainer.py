@@ -19,6 +19,7 @@ import numpy as np
 import optax
 
 from instance_nerf_tpu.data.nerf_dataset import NeRFScene
+from instance_nerf_tpu.models.fast_encode import mask_to_instance_head
 from instance_nerf_tpu.models.hashgrid import InstanceNGP, density_activation
 from instance_nerf_tpu.models.render import (
     OccupancyGrid,
@@ -50,6 +51,13 @@ class NGPConfig:
     occ_res: int = 128
     occ_update_every: int = 16
     occ_threshold: float = 0.01
+    # fleet occupancy maintenance: fraction of the G^3 cells re-sampled
+    # per update (scatter-max into the decayed grid). 1.0 = dense
+    # re-sample of every cell. probe26: the dense (B, G^3) sigma query
+    # grows superlinearly in fleet size B (3.1 s at B=32, occ_res 64);
+    # subsampling bounds it while the 0.95 EMA decay keeps stale cells
+    # dying out (torch-ngp samples cell subsets the same way).
+    occ_subsample: float = 1.0
     dtype: str = "float32"  # MLP compute dtype ("bfloat16" on TPU)
     # indoor masks are overwhelmingly background; upweight labeled
     # foreground rays so small instances aren't drowned out
@@ -206,7 +214,14 @@ class InstanceFieldTrainer:
                 return total, losses
 
             (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            if stage == "instance":
+                # frozen-NeRF instance training (reference README.md:47-65):
+                # mask grads (keeps adam moments clean) AND updates (guards
+                # against stale rgb-stage momentum) outside the inst head.
+                grads = mask_to_instance_head(grads)
             updates, opt_state = self.tx.update(grads, opt_state, params)
+            if stage == "instance":
+                updates = mask_to_instance_head(updates)
             params = optax.apply_updates(params, updates)
             return params, opt_state, losses
 
