@@ -167,6 +167,40 @@ def extra_field_adaptive_k_rays_per_s() -> dict:
     return out
 
 
+def extra_fleet_aggregate_rays_per_s() -> dict:
+    """Multi-scene fleet training (BASELINE config #5 analog on one
+    chip): B=32 fields advance in lock-step, r=1024 rays/scene (probe26:
+    aggregate tracks TOTAL rays — small per-scene batches shrink the
+    batched-matmul MXU tiles), occupancy refreshed by the subsampled
+    one-dispatch path (probe26's dense refresh grew superlinearly in B).
+    """
+    import numpy as np
+
+    from instance_nerf_tpu.data.nerf_dataset import make_synthetic_nerf_scene
+    from instance_nerf_tpu.train.multiscene import MultiSceneFieldTrainer
+    from instance_nerf_tpu.train.ngp_trainer import fast_ngp_config
+
+    rng = np.random.default_rng(0)
+    scenes = [
+        make_synthetic_nerf_scene(rng, n_views=4, hw=(64, 64), n_blobs=2)[0]
+        for _ in range(32)
+    ]
+    cfg = fast_ngp_config(
+        n_rays=1024, n_samples=48, k_occupied=16, occ_res=64,
+        occ_coarse_res=32, table_size=2 ** 15, n_levels=3, n_features=4,
+        ray_jitter=True, occ_subsample=0.25)
+    tr = MultiSceneFieldTrainer(scenes, cfg, seed=0, device_data=True)
+    spc = min(32, cfg.occ_update_every)
+    tr.train(spc, stage="rgb", log_every=0, steps_per_call=32)  # warm
+    t0 = time.perf_counter()
+    steps = 128
+    tr.train(steps, stage="rgb", log_every=0, steps_per_call=32)
+    dt = time.perf_counter() - t0
+    return {"aggregate_rays_per_s": round(32 * 1024 * steps / dt),
+            "B": 32, "rays_per_scene": 1024, "steps": steps,
+            "occ_subsample": 0.25, "step_ms": round(dt / steps * 1000, 2)}
+
+
 def extra_fcos_train_step_ms() -> dict:
     from instance_nerf_tpu.train.fcos_trainer import FCOSConfig, FCOSTrainer
 
@@ -231,6 +265,7 @@ def main():
         ("instance_field_train", extra_instance_field_rays_per_s),
         ("field_pretrain_rgb", extra_field_pretrain_rgb_rays_per_s),
         ("field_adaptive_k", extra_field_adaptive_k_rays_per_s),
+        ("fleet_aggregate", extra_fleet_aggregate_rays_per_s),
         ("fcos_train_step", extra_fcos_train_step_ms),
         ("rcnn_train_step", extra_rcnn_train_step_ms),
     ):

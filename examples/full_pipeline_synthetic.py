@@ -246,15 +246,22 @@ def main():
         evaluate_instance_masks,
     )
 
-    preds, gts = [], []
+    preds, gts, holdout_psnr = [], [], []
     for vi in range(n_train, args.views):  # truly novel views
         out = field.render_image(full.poses[vi], full.intrinsics, full.hw,
                                  chunk=4096)
         preds.append(out["instance"])
         gts.append(full.masks[vi].astype(np.int32))
+        # holdout RENDER psnr: a geometry-integrity canary — the round-5
+        # frozen-NeRF fix traced a 0.0 mIoU to density warping during
+        # instance training, visible only in this number (train psnr
+        # stayed fine while renders drifted)
+        mse = float(np.mean((out["rgb"] - np.asarray(full.images[vi])) ** 2))
+        holdout_psnr.append(-10.0 * np.log10(max(mse, 1e-10)))
     m5 = evaluate_instance_masks(preds, gts, iou_thresh=0.3)
     land("5", instance_ce=round(float(mi["instance"]), 4),
          pq=round(float(m5["pq"]), 4), miou=round(float(m5["miou"]), 4),
+         holdout_render_psnr=round(float(np.mean(holdout_psnr)), 2),
          stage5_wall_s=round(time.time() - t0, 1))
     print("PIPELINE OK", json.dumps(
         {k: summary[k] for k in ("psnr", "detections", "matched_views",
