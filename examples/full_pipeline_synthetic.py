@@ -108,6 +108,10 @@ def main():
         num_instances=5, n_rays=4096, n_samples=48,
         k_buckets=((0.5, 2), (0.25, 4), (0.25, 8)), ray_jitter=True,
         occ_res=64, occ_coarse_res=32,
+        # the train split HAS gt masks: press background rays transparent
+        # so few-view training can't fake psnr with view-dependent fog
+        # (pipe_r5f canary: train psnr 40.9 / holdout RENDER psnr 10.4)
+        bg_acc_weight=0.5,
     )
     field = InstanceFieldTrainer(cfg, seed=0)
     m = field.train(scene, args.ngp_steps, stage="rgb", log_every=10 ** 9)

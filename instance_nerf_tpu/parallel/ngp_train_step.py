@@ -37,6 +37,7 @@ def make_sharded_ngp_step(
     fuse_buckets: bool = True,
     stratified: bool = True,
     ray_jitter: bool = False,
+    bg_acc_weight: float = 0.0,
 ):
     """Returns jitted ``step(state, occ_grid, key, o, d, rgb, inst) ->
     (state, metrics)`` with ray arrays sharded over ``data``.
@@ -67,9 +68,16 @@ def make_sharded_ngp_step(
             w = jnp.where(valid, w, 0.0)
             ce_w = jnp.sum(ce * w)
             w_sum = jnp.sum(w)
-        return se, cnt, ce_w, w_sum
+        bg_sum = bg_cnt = jnp.float32(0)
+        if stage != "instance" and bg_acc_weight > 0:
+            # background-transparency pressure (see NGPConfig
+            # .bg_acc_weight): acc^2 on GT-background rays
+            is_bg = target_inst == 0
+            bg_sum = jnp.sum(jnp.where(is_bg, out.acc ** 2, 0.0))
+            bg_cnt = jnp.sum(is_bg).astype(jnp.float32)
+        return se, cnt, ce_w, w_sum, bg_sum, bg_cnt
 
-    def _metrics(se, cnt, ce_w, w_sum):
+    def _metrics(se, cnt, ce_w, w_sum, bg_sum, bg_cnt):
         rgb_loss = se / cnt
         total = rgb_loss if stage != "instance" else 0.0
         metrics = {"rgb": rgb_loss}
@@ -77,6 +85,10 @@ def make_sharded_ngp_step(
             inst = ce_w / jnp.maximum(w_sum, 1)
             metrics["instance"] = inst
             total = total + inst
+        if stage != "instance" and bg_acc_weight > 0:
+            bg = bg_sum / jnp.maximum(bg_cnt, 1)
+            metrics["bg_acc"] = bg
+            total = total + bg_acc_weight * bg
         metrics["total"] = total
         return total, metrics
 
@@ -174,6 +186,7 @@ def make_multiscene_ngp_step(
     fuse_buckets: bool = True,
     stratified: bool = True,
     ray_jitter: bool = False,
+    bg_acc_weight: float = 0.0,
 ):
     """Batched MULTI-SCENE instance-field training (BASELINE config #5:
     "~1k scenes over a mesh"): every scene carries its own field
@@ -226,6 +239,14 @@ def make_multiscene_ngp_step(
             inst = jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1)
             metrics["instance"] = inst
             total = total + inst
+        if stage != "instance" and bg_acc_weight > 0:
+            # background-transparency pressure (see NGPConfig
+            # .bg_acc_weight): acc^2 on GT-background rays
+            is_bg = target_inst == 0
+            bg = (jnp.sum(jnp.where(is_bg, out.acc ** 2, 0.0))
+                  / jnp.maximum(jnp.sum(is_bg), 1))
+            metrics["bg_acc"] = bg
+            total = total + bg_acc_weight * bg
         metrics["total"] = total
         return total, metrics
 

@@ -169,6 +169,7 @@ class MultiSceneFieldTrainer:
                 k_buckets=self.cfg.k_buckets,
                 fuse_buckets=self.cfg.fuse_buckets,
                 ray_jitter=self.cfg.ray_jitter,
+                bg_acc_weight=self.cfg.bg_acc_weight,
             )
         return self._steps[stage]
 

@@ -62,6 +62,14 @@ class NGPConfig:
     # indoor masks are overwhelmingly background; upweight labeled
     # foreground rays so small instances aren't drowned out
     instance_fg_weight: float = 5.0
+    # rgb-stage background-transparency pressure: weight on mean(acc^2)
+    # over rays whose GT instance label is 0. Few-view scenes otherwise
+    # reach high TRAIN psnr by painting view-dependent fog (pipe_r5f:
+    # train psnr 40.9, HOLDOUT render psnr 10.4) — fog that also
+    # displaces novel-view instance masks. Only enable when the scene
+    # HAS masks: with masks absent the loader feeds label 0 everywhere
+    # and this loss would drive the whole field transparent.
+    bg_acc_weight: float = 0.0
     # fixed-K occupancy compaction: of n_samples dense candidates, only
     # the first K occupied per ray are queried (None = query all)
     k_occupied: int | None = None
@@ -199,6 +207,12 @@ class InstanceFieldTrainer:
                 rgb_loss = jnp.mean((out.rgb - target_rgb) ** 2)
                 losses["rgb"] = rgb_loss
                 total = rgb_loss if stage != "instance" else 0.0
+                if stage != "instance" and cfg.bg_acc_weight > 0:
+                    is_bg = target_inst == 0
+                    bg = jnp.sum(jnp.where(is_bg, out.acc ** 2, 0.0))
+                    bg = bg / jnp.maximum(jnp.sum(is_bg), 1)
+                    losses["bg_acc"] = bg
+                    total = total + cfg.bg_acc_weight * bg
                 if stage != "rgb":
                     valid = target_inst >= 0
                     logp = jax.nn.log_softmax(out.instance_logits, axis=-1)
